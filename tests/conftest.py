@@ -1,0 +1,30 @@
+"""Test configuration.
+
+Force JAX onto a virtual 8-device CPU mesh so sharding/collective tests
+run hermetically and fast (the real TPU chip is reserved for bench.py).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+REFERENCE_BIN = pathlib.Path("/tmp/refbuild/lbzip2")
+
+
+@pytest.fixture(scope="session")
+def reference_corpus():
+    """Paths of the reference's adversarial .bz2 corpus (read-only)."""
+    d = REFERENCE_DIR / "tests"
+    if not d.is_dir():
+        pytest.skip("reference corpus not available")
+    return sorted(d.glob("*.bz2"))
