@@ -44,6 +44,17 @@ def encode_block(block_bytes: np.ndarray, cmap_bool: np.ndarray,
 
     bwt_out, bwt_idx = bwt(block_bytes)
     mtfv = mtf_rle2(bwt_out, make_cmap(cmap_bool), ninuse)
+    return encode_block_payload(mtfv, cmap_bool, bwt_idx, crc_stored,
+                                cluster_factor)
+
+
+def encode_block_payload(mtfv: np.ndarray, cmap_bool: np.ndarray,
+                         bwt_idx: int, crc_stored: int,
+                         cluster_factor: int = CLUSTER_FACTOR) -> bytes:
+    """Entropy-code one block given its MTF values (post BWT+MTF stages).
+
+    Shared by the sequential oracle and the device pipeline (which
+    computes BWT/MTF on-chip and hands the mtfv stream here)."""
     model: PrefixModel = generate_prefix_code(mtfv, cluster_factor)
 
     sels_new = model.tmap_old2new[model.selectors]
