@@ -1,0 +1,84 @@
+"""Multi-chip block parallelism: shard_map over a 1-D device mesh.
+
+lbzip2's primary parallel axis is independent bzip2 blocks across worker
+threads (SURVEY §2 "parallelism strategies" #1, src/compress.c).  The
+TPU mapping is data parallelism over a `blocks` mesh axis: a batch of
+padded blocks is sharded across chips, each chip runs the fused
+BWT+MTF block kernel on its shard, and results are gathered in block
+order on the host (the reorder stage).  No collectives are needed in
+the compute path — ordering and stream CRC folding happen host-side,
+which keeps ICI free for future pipeline stages (speculative decode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _block_stage(block: jnp.ndarray, n: jnp.ndarray):
+    """Per-block device stage: BWT + MTF ranks (+ symbol histogram)."""
+    from lbzip2_tpu.ops.bwt import bwt_masked
+    from lbzip2_tpu.ops.mtf import mtf_ranks
+
+    bwt_out, idx = bwt_masked(block, n)
+    # Compact symbols on device: map via the block's own used-byte set.
+    hist = jnp.bincount(block.astype(jnp.int32), length=256)
+    used = hist > 0
+    # Padding zeros inflate hist[0]; a byte is "used" iff it appears in
+    # block[:n].  Correct by checking hist[0] against padding count.
+    pad = block.shape[0] - n
+    used = used.at[0].set(hist[0] > pad)
+    cmap = jnp.cumsum(used.astype(jnp.int32)) - used.astype(jnp.int32)
+    syms = cmap[bwt_out.astype(jnp.int32)]
+    ranks = mtf_ranks(syms, n)
+    return bwt_out, idx, ranks
+
+
+def sharded_encode_step(mesh: Mesh, axis: str = "blocks"):
+    """Build the pjit'd sharded block-encode step for `mesh`.
+
+    Input batch (B, N) uint8 and lengths (B,) are sharded along B;
+    outputs keep the same sharding; host gathers in order.
+    """
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None)),
+        check_vma=False)
+    def step(blocks, ns):
+        return jax.vmap(_block_stage)(blocks, ns)
+
+    return jax.jit(step)
+
+
+def encode_batch_sharded(blocks: np.ndarray, ns: np.ndarray,
+                         mesh: Mesh | None = None):
+    """Run the sharded encode stage; returns host numpy arrays in order."""
+    if mesh is None:
+        mesh = make_mesh()
+    naxis = mesh.devices.size
+    B = blocks.shape[0]
+    padB = (-B) % naxis
+    if padB:
+        blocks = np.concatenate(
+            [blocks, np.zeros((padB,) + blocks.shape[1:], blocks.dtype)])
+        ns = np.concatenate([ns, np.ones(padB, ns.dtype)])
+    step = sharded_encode_step(mesh)
+    sharding = NamedSharding(mesh, P("blocks", None))
+    blocks_d = jax.device_put(blocks, sharding)
+    ns_d = jax.device_put(ns, NamedSharding(mesh, P("blocks")))
+    bwt_out, idx, ranks = step(blocks_d, ns_d)
+    return (np.asarray(bwt_out)[:B], np.asarray(idx)[:B],
+            np.asarray(ranks)[:B])

@@ -1,0 +1,189 @@
+"""CLI behavior tests (reference: src/main.c semantics)."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+BIN = pathlib.Path(__file__).resolve().parent.parent / "bin"
+
+
+def run(args, input=b"", env_extra=None, personality="lbzip2"):
+    env = dict(os.environ)
+    env.pop("LBZIP2", None)
+    env.pop("BZIP2", None)
+    env.pop("BZIP", None)
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run([sys.executable, str(BIN / personality)] + args,
+                         input=input, capture_output=True, env=env)
+
+
+def test_stdin_stdout_roundtrip():
+    p = run(["-9"], input=b"hello cli")
+    assert p.returncode == 0, p.stderr
+    q = run(["-d"], input=p.stdout)
+    assert q.returncode == 0, q.stderr
+    assert q.stdout == b"hello cli"
+
+
+def test_personality_bzcat():
+    p = run(["-9"], input=b"cat me")
+    q = run([], input=p.stdout, personality="lbzcat")
+    assert q.returncode == 0
+    assert q.stdout == b"cat me"
+
+
+def test_personality_bunzip2():
+    p = run([], input=b"data")
+    q = run(["-c"], input=p.stdout, personality="lbunzip2")
+    assert q.stdout == b"data"
+
+
+def test_file_operand_compress_decompress(tmp_path):
+    f = tmp_path / "file.txt"
+    f.write_bytes(b"contents " * 100)
+    p = run([str(f)])
+    assert p.returncode == 0, p.stderr
+    bz = tmp_path / "file.txt.bz2"
+    assert bz.exists()
+    assert not f.exists()  # input unlinked
+    q = run(["-d", str(bz)])
+    assert q.returncode == 0, q.stderr
+    assert f.read_bytes() == b"contents " * 100
+    assert not bz.exists()
+
+
+def test_keep_flag(tmp_path):
+    f = tmp_path / "k.txt"
+    f.write_bytes(b"keep me")
+    p = run(["-k", str(f)])
+    assert p.returncode == 0
+    assert f.exists() and (tmp_path / "k.txt.bz2").exists()
+
+
+def test_suffix_table(tmp_path):
+    f = tmp_path / "arch.tbz2"
+    raw = run(["-c"], input=b"tar bytes").stdout
+    f.write_bytes(raw)
+    p = run(["-d", "-k", str(f)])
+    assert p.returncode == 0, p.stderr
+    assert (tmp_path / "arch.tar").read_bytes() == b"tar bytes"
+
+
+def test_unknown_suffix_gets_out(tmp_path):
+    f = tmp_path / "odd.dat"
+    f.write_bytes(run(["-c"], input=b"x").stdout)
+    p = run(["-d", "-k", str(f)])
+    assert p.returncode == 0, p.stderr
+    assert (tmp_path / "odd.dat.out").exists()
+
+
+def test_skip_compressed_suffix_on_compress(tmp_path):
+    f = tmp_path / "a.bz2"
+    f.write_bytes(b"whatever")
+    p = run([str(f)])
+    assert p.returncode == 4  # warning exit
+    assert b"compressed suffix" in p.stderr
+
+
+def test_not_bzip2_error():
+    p = run(["-d"], input=b"garbage here")
+    assert p.returncode == 1
+    assert b"not a valid bzip2 file" in p.stderr
+
+
+def test_force_copy_passthrough():
+    p = run(["-d", "-c", "-f"], input=b"plain text")
+    assert p.returncode == 0, p.stderr
+    assert p.stdout == b"plain text"
+
+
+def test_test_mode():
+    good = run(["-c"], input=b"check").stdout
+    p = run(["-t"], input=good)
+    assert p.returncode == 0
+    assert p.stdout == b""
+    bad = good[:-2] + b"\x00\x00"
+    q = run(["-t"], input=bad)
+    assert q.returncode == 1
+    assert b"compressed data error" in q.stderr
+
+
+def test_env_var_options(tmp_path):
+    f = tmp_path / "e.txt"
+    f.write_bytes(b"env")
+    p = run([str(f)], env_extra={"LBZIP2": "-k -v"})
+    assert p.returncode == 0
+    assert f.exists()  # -k from env var
+    assert b"compressing" in p.stderr  # -v from env var
+
+
+def test_level_and_bad_option():
+    assert run(["-1"], input=b"x" * 10).returncode == 0
+    p = run(["-X"], input=b"x")
+    assert p.returncode == 1
+    assert b"unknown option" in p.stderr
+
+
+def test_n_option_forms():
+    assert run(["-n2"], input=b"x").returncode == 0
+    assert run(["-n", "2"], input=b"x").returncode == 0
+    p = run(["-n"], input=b"x")
+    assert p.returncode == 1
+    assert b"requires an argument" in p.stderr
+    p = run(["-n0"], input=b"x")
+    assert p.returncode == 1
+
+
+def test_help_version():
+    p = run(["-h"])
+    assert p.returncode == 0 and b"Usage" in p.stdout
+    p = run(["--version"])
+    assert p.returncode == 0 and b"version" in p.stdout
+
+
+def test_multistream_decode_concat():
+    a = run(["-c"], input=b"one ").stdout
+    b = run(["-c", "-1"], input=b"two").stdout
+    q = run(["-d", "-c"], input=a + b)
+    assert q.returncode == 0
+    assert q.stdout == b"one two"
+
+
+def test_bad_crc_exit_and_message():
+    good = bytearray(run(["-c"], input=b"q" * 1000).stdout)
+    good[20] ^= 0xFF  # corrupt payload
+    p = run(["-d"], input=bytes(good))
+    assert p.returncode == 1
+    assert b"compressed data error" in p.stderr
+
+
+def test_double_dash_operand(tmp_path):
+    f = tmp_path / "-weird"
+    f.write_bytes(b"dash")
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        p = run(["--", "-weird"])
+    finally:
+        os.chdir(cwd)
+    assert p.returncode == 0, p.stderr
+
+
+def test_metadata_restore(tmp_path):
+    f = tmp_path / "m.txt"
+    f.write_bytes(b"meta")
+    os.chmod(f, 0o640)
+    os.utime(f, (1_000_000_000, 1_000_000_000))
+    p = run(["-k", str(f)])
+    assert p.returncode == 0
+    st = os.stat(tmp_path / "m.txt.bz2")
+    assert stat_mode(st) == 0o640
+    assert int(st.st_mtime) == 1_000_000_000
+
+
+def stat_mode(st):
+    return st.st_mode & 0o777
