@@ -1,0 +1,158 @@
+"""Native host kernels: build-on-first-import + ctypes bindings.
+
+gcc -O3 compiles lbz2_native.c into a shared object cached next to the
+source; no pip/pybind11 needed.  Falls back cleanly (native_available()
+False) if no compiler is present — callers then use the numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "lbz2_native.c"
+_SO = _DIR / "lbz2_native.so"
+
+_lib = None
+_lock = threading.Lock()
+_retrieve_lock = threading.Lock()  # retrieve_block uses static buffers
+
+
+def _build() -> pathlib.Path | None:
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _SO
+    try:
+        subprocess.run(
+            ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return _SO
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(str(so))
+        lib.lbz2_crc32_block.restype = ctypes.c_uint32
+        lib.lbz2_crc32_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32]
+        lib.lbz2_rle1_collect.restype = ctypes.c_long
+        lib.lbz2_rle1_collect.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long]
+        lib.lbz2_retrieve_block.restype = ctypes.c_long
+        lib.lbz2_retrieve_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.lbz2_ibwt_emit.restype = ctypes.c_long
+        lib.lbz2_ibwt_emit.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def crc32_block(data: np.ndarray, crc: int = 0xFFFFFFFF) -> int:
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    return int(lib.lbz2_crc32_block(
+        data.ctypes.data_as(ctypes.c_void_p), data.size, crc & 0xFFFFFFFF))
+
+
+def rle1_collect(data: np.ndarray, mbs: int, granul: int | None):
+    """Returns list of (start, end, block_bytes, cmap_bool)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.size
+    max_blocks = max(4, 2 * (n // mbs + 2) + 8)
+    out_cap = (n * 5) // 4 + 16 * max_blocks + 64
+    out_buf = np.empty(out_cap, np.uint8)
+    starts = np.empty(max_blocks, np.int64)
+    ends = np.empty(max_blocks, np.int64)
+    out_lens = np.empty(max_blocks, np.int64)
+    cmaps = np.empty(max_blocks * 256, np.uint8)
+    g = granul if granul is not None else 0
+    cnt = lib.lbz2_rle1_collect(
+        data.ctypes.data_as(ctypes.c_void_p), n, mbs, g,
+        out_buf.ctypes.data_as(ctypes.c_void_p), out_cap,
+        starts.ctypes.data_as(ctypes.c_void_p),
+        ends.ctypes.data_as(ctypes.c_void_p),
+        out_lens.ctypes.data_as(ctypes.c_void_p),
+        cmaps.ctypes.data_as(ctypes.c_void_p), max_blocks)
+    assert cnt >= 0, "rle1_collect buffer overflow"
+    res = []
+    pos = 0
+    for i in range(cnt):
+        ln = int(out_lens[i])
+        res.append((int(starts[i]), int(ends[i]),
+                    out_buf[pos:pos + ln].copy(),
+                    cmaps[i * 256:(i + 1) * 256].astype(bool)))
+        pos += ln
+    return res
+
+
+def retrieve_block(data: np.ndarray, nbits: int, bitpos: int):
+    """Decode one block payload; returns (err, newpos, bwt, idx, rand)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(900000, np.uint8)
+    pos = ctypes.c_long(bitpos)
+    size = ctypes.c_long(0)
+    idx = ctypes.c_long(0)
+    rnd = ctypes.c_int(0)
+    with _retrieve_lock:
+        err = lib.lbz2_retrieve_block(
+            data.ctypes.data_as(ctypes.c_void_p), nbits, ctypes.byref(pos),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(size),
+            ctypes.byref(idx), ctypes.byref(rnd))
+    if err != 0:
+        return int(err), bitpos, None, 0, 0
+    return 0, int(pos.value), out[:size.value], int(idx.value), int(rnd.value)
+
+
+def ibwt_emit(bwt: np.ndarray, idx: int, rand_flag: int,
+              out_cap: int | None = None):
+    """Fused IBWT + derandomize + RLE1-expand + CRC.
+
+    Returns (out_bytes, crc_register) or raises ValueError on
+    missing-run-length / overflow."""
+    lib = get_lib()
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    n = bwt.size
+    if out_cap is None:
+        out_cap = 256 * n + 4096  # RLE1 expands at most 255x + literals
+    scratch = np.empty(n, np.int32)
+    out = np.empty(out_cap, np.uint8)
+    crc = ctypes.c_uint32(0)
+    r = lib.lbz2_ibwt_emit(
+        bwt.ctypes.data_as(ctypes.c_void_p), n, idx, rand_flag,
+        scratch.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), out_cap, ctypes.byref(crc))
+    if r == -2:
+        raise ValueError("missing run length")
+    if r == -1:
+        raise MemoryError("output capacity exceeded")
+    return out[:r], int(crc.value)

@@ -1,0 +1,508 @@
+/* lbz2_native.c — host-side native kernels for lbzip2_tpu.
+ *
+ * Clean-room implementations of the host-resident hot paths, built from
+ * the specs validated by the Python oracle (lbzip2_tpu/ref/*):
+ *
+ *   - rle1_collect: RLE1 block collector with lbzip2-exact window +
+ *     capacity split rules (spec: ref/rle1.py; reference behavior
+ *     src/encode.c:136-336).
+ *   - crc32_block: bzip2 MSB-first CRC-32, slice-by-8.
+ *   - retrieve_block: block payload decode — bitmap, delta trees with
+ *     batched bounds, selector MTF with deferred bad-tree errors,
+ *     two-level canonical Huffman decode, inverse MTF, RLE2 run
+ *     expansion (spec: ref/decoder.py; reference src/decode.c:519-798).
+ *   - ibwt_emit: counting-sort IBWT pointer build + chase fused with
+ *     RLE1 expansion and CRC (reference src/decode.c:852-930, 944-1144),
+ *     including legacy derandomization.
+ *
+ * Exposed with a plain C ABI for ctypes.  Error codes match
+ * lbzip2_tpu.core.constants.Error values.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#define MAX_BLOCK_SIZE 900000
+#define GROUP_SIZE 50
+#define MAX_CODE_LENGTH 20
+#define MAX_TREES 6
+#define SELECTOR_CLAMP 18001
+#define MAX_SELECTORS_HARD 32767
+
+enum {
+  E_OK = 0, E_MORE = 1, E_FINISH = 2, E_MAGIC = 3, E_HEADER = 4,
+  E_BITMAP = 5, E_TREES = 6, E_GROUPS = 7, E_SELECTOR = 8, E_DELTA = 9,
+  E_PREFIX = 10, E_INCOMPLT = 11, E_EMPTY = 12, E_UNTERM = 13,
+  E_RUNLEN = 14, E_BLKCRC = 15, E_STRMCRC = 16, E_OVERFLOW = 17,
+  E_BWTIDX = 18, E_EOF = 19,
+};
+
+/* ------------------------------------------------------------------ */
+/* CRC32 (bzip2 polynomial, MSB first), slice-by-8                     */
+/* ------------------------------------------------------------------ */
+
+static uint32_t crc_tab[8][256];
+static int crc_ready = 0;
+
+static void crc_init(void) {
+  if (crc_ready) return;
+  for (int i = 0; i < 256; i++) {
+    uint32_t c = (uint32_t)i << 24;
+    for (int k = 0; k < 8; k++)
+      c = (c << 1) ^ ((c & 0x80000000u) ? 0x04C11DB7u : 0u);
+    crc_tab[0][i] = c;
+  }
+  for (int t = 1; t < 8; t++)
+    for (int i = 0; i < 256; i++) {
+      uint32_t c = crc_tab[t - 1][i];
+      crc_tab[t][i] = (c << 8) ^ crc_tab[0][c >> 24];
+    }
+  crc_ready = 1;
+}
+
+uint32_t lbz2_crc32_block(const uint8_t *p, long n, uint32_t crc) {
+  crc_init();
+  long i = 0;
+  /* slice-by-8: process 8 bytes per step.  The register advances 8
+     zero-byte steps while folding in 8 message bytes. */
+  for (; i + 8 <= n; i += 8) {
+    uint32_t hi = crc;
+    crc = crc_tab[7][((hi >> 24) ^ p[i]) & 0xFF]
+        ^ crc_tab[6][((hi >> 16) ^ p[i + 1]) & 0xFF]
+        ^ crc_tab[5][((hi >> 8) ^ p[i + 2]) & 0xFF]
+        ^ crc_tab[4][(hi ^ p[i + 3]) & 0xFF]
+        ^ crc_tab[3][p[i + 4]]
+        ^ crc_tab[2][p[i + 5]]
+        ^ crc_tab[1][p[i + 6]]
+        ^ crc_tab[0][p[i + 7]];
+  }
+  for (; i < n; i++)
+    crc = (crc << 8) ^ crc_tab[0][((crc >> 24) ^ p[i]) & 0xFF];
+  return crc;
+}
+
+/* ------------------------------------------------------------------ */
+/* RLE1 collector                                                      */
+/* ------------------------------------------------------------------ */
+
+/* Consume one run against capacity; returns new pos, updates *used,
+ * sets *full.  Mirrors ref/rle1.py _consume_run. */
+static long consume_run(long pos, long run_len, long *used, long mbs,
+                        int *full) {
+  long left = run_len;
+  while (left > 0) {
+    long r = left < 259 ? left : 259;
+    long cap = mbs - *used;
+    if (r < 4) {
+      if (r >= cap) { *used = mbs; *full = 1; return pos + cap; }
+      pos += r; *used += r; left -= r;
+      continue;
+    }
+    if (cap <= 3) { *used += cap; *full = 1; return pos + cap; }
+    if (cap == 4) { *used += 3; *full = 1; return pos + 3; } /* state-3 */
+    pos += r; *used += 5; left -= r;
+    if (*used == mbs) { *full = 1; return pos; }
+  }
+  *full = 0;
+  return pos;
+}
+
+/* Split input into blocks (window granul, capacity mbs) and transform.
+ * out_buf receives concatenated RLE1 bytes; starts/ends/out_lens get
+ * per-block input spans and output lengths; cmaps gets 256 bytes per
+ * block (0/1 flags).  Returns block count, or -1 on overflow of the
+ * provided arrays. */
+long lbz2_rle1_collect(const uint8_t *in, long n, long mbs, long granul,
+                       uint8_t *out_buf, long out_cap,
+                       long *starts, long *ends, long *out_lens,
+                       uint8_t *cmaps, long max_blocks) {
+  long nblocks = 0;
+  long out_pos = 0;
+  long wstart = 0;
+  if (granul <= 0) granul = n > 0 ? n : 1;
+
+  while (wstart < n) {
+    long wend = wstart + granul < n ? wstart + granul : n;
+    long pos = wstart;
+    while (pos < wend) {
+      if (nblocks >= max_blocks) return -1;
+      long begin = pos;
+      long used = 0;
+      int full = 0;
+      /* Walk runs from pos to wend applying capacity rules. */
+      while (pos < wend && !full) {
+        uint8_t c = in[pos];
+        long j = pos;
+        while (j < wend && in[j] == c) j++;
+        pos = consume_run(pos, j - pos, &used, mbs, &full);
+      }
+      /* Transform span [begin, pos) fresh. */
+      uint8_t *cm = cmaps + nblocks * 256;
+      memset(cm, 0, 256);
+      long op = out_pos;
+      long i = begin;
+      while (i < pos) {
+        uint8_t c = in[i];
+        long j = i;
+        long lim = i + 259 < pos ? i + 259 : pos;
+        while (j < lim && in[j] == c) j++;
+        long r = j - i;
+        if (op + 5 > out_cap) return -1;
+        cm[c] = 1;
+        if (r < 4) {
+          for (long k = 0; k < r; k++) out_buf[op++] = c;
+        } else {
+          out_buf[op++] = c; out_buf[op++] = c;
+          out_buf[op++] = c; out_buf[op++] = c;
+          out_buf[op++] = (uint8_t)(r - 4);
+          cm[r - 4] = 1;
+        }
+        i = j;
+      }
+      starts[nblocks] = begin;
+      ends[nblocks] = pos;
+      out_lens[nblocks] = op - out_pos;
+      out_pos = op;
+      nblocks++;
+    }
+    wstart = wend;
+  }
+  return nblocks;
+}
+
+/* ------------------------------------------------------------------ */
+/* Bit reader                                                          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+  const uint8_t *data;
+  long nbits;
+  long pos;
+} bits_t;
+
+static inline int bits_left(const bits_t *b) { return b->pos < b->nbits; }
+
+static inline uint32_t bits_peek20(const bits_t *b) {
+  /* 20 bits MSB-first from b->pos, zero-padded past end of stream. */
+  long byte = b->pos >> 3;
+  int off = (int)(b->pos & 7);
+  long nbytes = (b->nbits + 7) >> 3;
+  uint64_t v = 0;
+  for (int k = 0; k < 4; k++)
+    v = (v << 8) | (uint64_t)((byte + k) < nbytes ? b->data[byte + k] : 0);
+  v >>= (12 - off);
+  return (uint32_t)(v & 0xFFFFF);
+}
+
+static inline long bits_read(bits_t *b, int k, int *err) {
+  if (b->pos + k > b->nbits) { *err = 1; return 0; }
+  long v = 0;
+  for (int i = 0; i < k; i++) {
+    long p = b->pos + i;
+    v = (v << 1) | ((b->data[p >> 3] >> (7 - (p & 7))) & 1);
+  }
+  b->pos += k;
+  return v;
+}
+
+/* ------------------------------------------------------------------ */
+/* Block retrieve (Huffman decode + IMTF + RLE2)                       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+  int status;                    /* E_OK or deferred error */
+  uint64_t base[MAX_CODE_LENGTH + 2];  /* left-justified 20-bit bases */
+  int count[MAX_CODE_LENGTH + 2];      /* cum counts of lengths < k */
+  uint16_t perm[258];
+  /* 10-bit first-level LUT: value = (symbol<<5)|len, or len-only>10 */
+  uint16_t lut[1024];
+} tree_t;
+
+#define LUT_WIDTH 10
+
+static void make_tree(tree_t *t, const uint8_t *len, int alpha) {
+  int C[MAX_CODE_LENGTH + 2];
+  memset(C, 0, sizeof(C));
+  for (int s = 0; s < alpha; s++) C[len[s]]++;
+  uint64_t kraft = 0;
+  for (int k = 1; k <= MAX_CODE_LENGTH; k++)
+    kraft += (uint64_t)C[k] << (MAX_CODE_LENGTH - k);
+  if (kraft != (1u << MAX_CODE_LENGTH)) {
+    t->status = kraft < (1u << MAX_CODE_LENGTH) ? E_INCOMPLT : E_PREFIX;
+    return;
+  }
+  uint64_t sofar = 0;
+  for (int k = 1; k <= MAX_CODE_LENGTH; k++) {
+    t->base[k] = sofar;
+    sofar += (uint64_t)C[k] << (MAX_CODE_LENGTH - k);
+  }
+  t->base[MAX_CODE_LENGTH + 1] = 1u << MAX_CODE_LENGTH;
+  int cum = 0;
+  for (int k = 1; k <= MAX_CODE_LENGTH; k++) {
+    t->count[k] = cum;
+    cum += C[k];
+  }
+  /* counting sort of symbols by length; internal symbol values:
+     0=EOB, 1..255 MTFV, 257=RUNA, 258=RUNB */
+  int idx[MAX_CODE_LENGTH + 2];
+  memcpy(idx, t->count, sizeof(idx));
+  for (int s = 0; s < alpha; s++) {
+    int sym = s == 0 ? 257 : s == 1 ? 258 : s == alpha - 1 ? 0 : s - 1;
+    t->perm[idx[len[s]]++] = (uint16_t)sym;
+  }
+  /* first-level LUT over 10 bits */
+  int code = 0;
+  int inc = 1 << (LUT_WIDTH - 1);
+  for (int k = 1; k <= LUT_WIDTH; k++) {
+    for (int s = t->count[k]; s < t->count[k + 1]; s++) {
+      uint16_t x = (uint16_t)((t->perm[s] << 5) | k);
+      for (int v = 0; v < inc; v++) t->lut[code + v] = x;
+      code += inc;
+    }
+    inc >>= 1;
+  }
+  while (code < (1 << LUT_WIDTH)) {
+    /* long-code marker: store 0xFFFF; slow path resolves */
+    t->lut[code++] = 0xFFFF;
+  }
+  t->status = E_OK;
+}
+
+/* Decode one block payload after magic+CRC.  Returns error code.
+ * On success: out_bwt holds block_size bytes, *bwt_idx, *randomized set,
+ * *bitpos advanced past the payload. */
+long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
+                         uint8_t *out_bwt, long *block_size,
+                         long *bwt_idx, int *randomized) {
+  bits_t bs = { data, nbits, *bitpos };
+  int err = 0;
+  static tree_t trees[MAX_TREES];  /* not thread-safe; one call at a time */
+  uint8_t used_bytes[256];
+  int n_used = 0;
+
+  int rand_bit = (int)bits_read(&bs, 1, &err);
+  long idx = bits_read(&bs, 24, &err);
+  long big = bits_read(&bs, 16, &err);
+  if (err) return E_EOF;
+  for (int i = 0; i < 16; i++) {
+    if ((big >> (15 - i)) & 1) {
+      long small = bits_read(&bs, 16, &err);
+      if (err) return E_EOF;
+      for (int j = 0; j < 16; j++)
+        if ((small >> (15 - j)) & 1)
+          used_bytes[n_used++] = (uint8_t)(16 * i + j);
+    }
+  }
+  if (n_used == 0) return E_BITMAP;
+  int alpha = n_used + 2;
+
+  long num_trees = bits_read(&bs, 3, &err);
+  if (err) return E_EOF;
+  if (num_trees < 2 || num_trees > MAX_TREES) return E_TREES;
+  long num_sel = bits_read(&bs, 15, &err);
+  if (err) return E_EOF;
+  if (num_sel == 0) return E_GROUPS;
+
+  static uint8_t selectors[MAX_SELECTORS_HARD + 1];
+  for (long g = 0; g < num_sel; g++) {
+    int k = 0;
+    for (;;) {
+      long b = bits_read(&bs, 1, &err);
+      if (err) return E_EOF;
+      if (b == 0) break;
+      k++;
+      if (k > 6) return E_SELECTOR;
+    }
+    if (k + 1 > num_trees) return E_SELECTOR;
+    selectors[g] = (uint8_t)k;
+  }
+
+  for (int tr = 0; tr < num_trees; tr++) {
+    uint8_t len_arr[258];
+    long cur = bits_read(&bs, 5, &err);
+    if (err) return E_EOF;
+    int j = 0;
+    while (j < alpha) {
+      int ops = 0, terminated = 0;
+      while (ops < 3) {
+        long b = bits_read(&bs, 1, &err);
+        if (err) return E_EOF;
+        if (b == 0) { terminated = 1; break; }
+        long b2 = bits_read(&bs, 1, &err);
+        if (err) return E_EOF;
+        cur += b2 == 0 ? 1 : -1;
+        ops++;
+      }
+      if (cur < 1 || cur > MAX_CODE_LENGTH) return E_DELTA;
+      if (terminated) len_arr[j++] = (uint8_t)cur;
+    }
+    make_tree(&trees[tr], len_arr, alpha);
+  }
+
+  /* group decode */
+  uint8_t imtf[256];
+  memcpy(imtf, used_bytes, n_used);
+  int tree_mtf[MAX_TREES] = {0, 1, 2, 3, 4, 5};
+  uint32_t run_char = imtf[0];
+  uint64_t run = 0;
+  int shift = 0;
+  long size = 0;
+  long ns = num_sel < SELECTOR_CLAMP ? num_sel : SELECTOR_CLAMP;
+  int eob = 0;
+
+  for (long g = 0; g < ns && !eob; g++) {
+    int si = selectors[g];
+    int tsel = tree_mtf[si];
+    for (int q = si; q > 0; q--) tree_mtf[q] = tree_mtf[q - 1];
+    tree_mtf[0] = tsel;
+    tree_t *T = &trees[tsel];
+    if (T->status != E_OK) return T->status;
+
+    for (int m = 0; m < GROUP_SIZE; m++) {
+      uint32_t v = bits_peek20(&bs);
+      uint16_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
+      int k, sym;
+      if (x != 0xFFFF) {
+        k = x & 0x1F;
+        sym = x >> 5;
+      } else {
+        k = LUT_WIDTH + 1;
+        while ((uint64_t)v >= T->base[k + 1]) k++;
+        sym = T->perm[T->count[k] + (long)((v - T->base[k]) >> (MAX_CODE_LENGTH - k))];
+      }
+      if (bs.pos + k > bs.nbits) return E_EOF;
+      bs.pos += k;
+
+      if (sym == 0) { /* EOB */
+        if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;
+        memset(out_bwt + size, run_char, run);
+        size += run;
+        eob = 1;
+        break;
+      }
+      if (sym >= 256 && run <= MAX_BLOCK_SIZE) {
+        run += (uint64_t)(sym - 256) << shift;
+        shift++;
+        continue;
+      }
+      if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;
+      memset(out_bwt + size, run_char, run);
+      size += run;
+      /* inverse MTF */
+      {
+        int r = sym;
+        uint8_t c = imtf[r];
+        memmove(imtf + 1, imtf, r);
+        imtf[0] = c;
+        run_char = c;
+      }
+      run = 1;
+      shift = 0;
+    }
+  }
+  if (!eob) return E_UNTERM;
+  if (size == 0) return E_EMPTY;
+  if (idx >= size) return E_BWTIDX;
+
+  *bitpos = bs.pos;
+  *block_size = size;
+  *bwt_idx = idx;
+  *randomized = rand_bit;
+  return E_OK;
+}
+
+/* ------------------------------------------------------------------ */
+/* IBWT + derandomize + RLE1 expand + CRC (fused emit)                 */
+/* ------------------------------------------------------------------ */
+
+static const uint16_t rand_table[512] = {
+  619,720,127,481,931,816,813,233,566,247,985,724,205,454,863,491,741,242,
+  949,214,733,859,335,708,621,574,73,654,730,472,419,436,278,496,867,210,
+  399,680,480,51,878,465,811,169,869,675,611,697,867,561,862,687,507,283,
+  482,129,807,591,733,623,150,238,59,379,684,877,625,169,643,105,170,607,
+  520,932,727,476,693,425,174,647,73,122,335,530,442,853,695,249,445,515,
+  909,545,703,919,874,474,882,500,594,612,641,801,220,162,819,984,589,513,
+  495,799,161,604,958,533,221,400,386,867,600,782,382,596,414,171,516,375,
+  682,485,911,276,98,553,163,354,666,933,424,341,533,870,227,730,475,186,
+  263,647,537,686,600,224,469,68,770,919,190,373,294,822,808,206,184,943,
+  795,384,383,461,404,758,839,887,715,67,618,276,204,918,873,777,604,560,
+  951,160,578,722,79,804,96,409,713,940,652,934,970,447,318,353,859,672,
+  112,785,645,863,803,350,139,93,354,99,820,908,609,772,154,274,580,184,
+  79,626,630,742,653,282,762,623,680,81,927,626,789,125,411,521,938,300,
+  821,78,343,175,128,250,170,774,972,275,999,639,495,78,352,126,857,956,
+  358,619,580,124,737,594,701,612,669,112,134,694,363,992,809,743,168,974,
+  944,375,748,52,600,747,642,182,862,81,344,805,988,739,511,655,814,334,
+  249,515,897,955,664,981,649,113,974,459,893,228,433,837,553,268,926,240,
+  102,654,459,51,686,754,806,760,493,403,415,394,687,700,946,670,656,610,
+  738,392,760,799,887,653,978,321,576,617,626,502,894,679,243,440,680,879,
+  194,572,640,724,926,56,204,700,707,151,457,449,797,195,791,558,945,679,
+  297,59,87,824,713,663,412,693,342,606,134,108,571,364,631,212,174,643,
+  304,329,343,97,430,751,497,314,983,374,822,928,140,206,73,263,980,736,
+  876,478,430,305,170,514,364,692,829,82,855,953,676,246,369,970,294,750,
+  807,827,150,790,288,923,804,378,215,828,592,281,565,555,710,82,896,831,
+  547,261,524,462,293,465,502,56,661,821,976,991,658,869,905,758,745,193,
+  768,550,608,933,378,286,215,979,792,961,61,688,793,644,986,403,106,366,
+  905,644,372,567,466,434,645,210,389,550,919,135,780,773,635,389,707,100,
+  626,958,165,504,920,176,193,713,857,265,203,50,668,108,645,990,626,197,
+  510,357,358,850,858,364,936,638
+};
+
+/* IBWT + optional derandomization + RLE1 expansion + CRC.
+ * ptr_scratch: caller-provided int32[n].
+ * Returns output length, or -1 if out_cap exceeded, -2 on missing run
+ * length (ERR_RUNLEN).  *crc gets the register (init 0xFFFFFFFF). */
+long lbz2_ibwt_emit(const uint8_t *bwt, long n, long idx, int rand_flag,
+                    int32_t *ptr_scratch, uint8_t *out, long out_cap,
+                    uint32_t *crc_out) {
+  crc_init();
+  long cnt[256];
+  memset(cnt, 0, sizeof(cnt));
+  for (long i = 0; i < n; i++) cnt[bwt[i]]++;
+  long cum = 0;
+  long base[256];
+  for (int c = 0; c < 256; c++) { base[c] = cum; cum += cnt[c]; }
+  /* ptr[slot] = BWT position whose (char, position) is slot-th */
+  for (long i = 0; i < n; i++) ptr_scratch[base[bwt[i]]++] = (int32_t)i;
+
+  /* decode order chars; apply derandomization on the fly */
+  long rand_i = 0, rand_j = 617;
+  uint32_t crc = 0xFFFFFFFFu;
+  long op = 0;
+
+  long cur = ptr_scratch[idx];
+  /* RLE1 expansion state */
+  int run = 0;          /* consecutive equal literals seen (0..4) */
+  int last = -1;
+
+  for (long k = 0; k < n; k++) {
+    uint32_t ch = bwt[cur];
+    cur = ptr_scratch[cur];
+    if (rand_flag) {
+      if (k == rand_j) {
+        ch ^= 1;
+        rand_i = (rand_i + 1) & 0x1FF;
+        rand_j += rand_table[rand_i];
+      }
+    }
+    if (run == 4) {
+      /* ch is a run-length byte */
+      long extra = ch;
+      if (op + extra > out_cap) return -1;
+      for (long q = 0; q < extra; q++) {
+        out[op++] = (uint8_t)last;
+        crc = (crc << 8) ^ crc_tab[0][((crc >> 24) ^ last) & 0xFF];
+      }
+      run = 0;
+      last = -1;
+      continue;
+    }
+    if ((int)ch == last) run++; else { run = 1; last = (int)ch; }
+    if (op + 1 > out_cap) return -1;
+    out[op++] = (uint8_t)ch;
+    crc = (crc << 8) ^ crc_tab[0][((crc >> 24) ^ ch) & 0xFF];
+  }
+  if (run == 4) return -2; /* missing run length */
+  *crc_out = crc;
+  return op;
+}
