@@ -292,13 +292,31 @@ def _suffix_xform(path: str, for_output: bool) -> str | None:
 
 
 def _engine_compress(data: bytes, opts: Options) -> bytes:
-    engine = os.environ.get("LBZIP2_TPU_ENGINE", "oracle")
+    engine = os.environ.get("LBZIP2_TPU_ENGINE", "auto")
     if engine == "device":
         from lbzip2_tpu.codec.encoder import compress as dev_compress
         return dev_compress(data, opts.bs100k,
                             sequential_split=opts.ultra)
-    from lbzip2_tpu.ref.encoder import compress as ref_compress
-    return ref_compress(data, opts.bs100k, sequential_split=opts.ultra)
+    if engine == "oracle":
+        from lbzip2_tpu.ref.encoder import compress as ref_compress
+        return ref_compress(data, opts.bs100k,
+                            sequential_split=opts.ultra)
+    from lbzip2_tpu.parallel.encode import compress_parallel
+    return compress_parallel(data, opts.bs100k,
+                             n_workers=opts.num_worker,
+                             sequential_split=opts.ultra)
+
+
+def _engine_decompress(data: bytes, opts: Options) -> bytes:
+    engine = os.environ.get("LBZIP2_TPU_ENGINE", "auto")
+    if engine == "oracle":
+        from lbzip2_tpu.ref.decoder import decompress as ref_dec
+        return ref_dec(data)
+    if opts.num_worker > 1 and len(data) > 1 << 20:
+        from lbzip2_tpu.parallel.decode import decompress_parallel
+        return decompress_parallel(data, n_workers=opts.num_worker)
+    from lbzip2_tpu.codec.decoder import decompress as prod_dec
+    return prod_dec(data)
 
 
 def _work(ctx: _Ctx, opts: Options, infd, outfd) -> tuple[int, int]:
@@ -310,9 +328,8 @@ def _work(ctx: _Ctx, opts: Options, infd, outfd) -> tuple[int, int]:
         magic_ok = (len(data) >= 4 and data[:3] == b"BZh"
                     and 0x31 <= data[3] <= 0x39)
         if magic_ok:
-            from lbzip2_tpu.ref.decoder import decompress as do_decompress
             try:
-                out = do_decompress(data)
+                out = _engine_decompress(data, opts)
             except StreamError as e:
                 from lbzip2_tpu.core.constants import ERROR_MESSAGES
                 _fail(ctx, "compressed data error: "

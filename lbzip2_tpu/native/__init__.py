@@ -48,6 +48,7 @@ def get_lib():
         if so is None:
             return None
         lib = ctypes.CDLL(str(so))
+        lib.lbz2_init()  # one-time CRC table init (thread-safety)
         lib.lbz2_crc32_block.restype = ctypes.c_uint32
         lib.lbz2_crc32_block.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_uint32]
@@ -123,11 +124,10 @@ def retrieve_block(data: np.ndarray, nbits: int, bitpos: int):
     size = ctypes.c_long(0)
     idx = ctypes.c_long(0)
     rnd = ctypes.c_int(0)
-    with _retrieve_lock:
-        err = lib.lbz2_retrieve_block(
-            data.ctypes.data_as(ctypes.c_void_p), nbits, ctypes.byref(pos),
-            out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(size),
-            ctypes.byref(idx), ctypes.byref(rnd))
+    err = lib.lbz2_retrieve_block(
+        data.ctypes.data_as(ctypes.c_void_p), nbits, ctypes.byref(pos),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(size),
+        ctypes.byref(idx), ctypes.byref(rnd))
     if err != 0:
         return int(err), bitpos, None, 0, 0
     return 0, int(pos.value), out[:size.value], int(idx.value), int(rnd.value)

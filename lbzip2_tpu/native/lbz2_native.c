@@ -61,6 +61,8 @@ static void crc_init(void) {
   crc_ready = 1;
 }
 
+void lbz2_init(void) { crc_init(); }
+
 uint32_t lbz2_crc32_block(const uint8_t *p, long n, uint32_t crc) {
   crc_init();
   long i = 0;
@@ -277,7 +279,8 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
                          long *bwt_idx, int *randomized) {
   bits_t bs = { data, nbits, *bitpos };
   int err = 0;
-  static tree_t trees[MAX_TREES];  /* not thread-safe; one call at a time */
+  /* ~17 KiB/tree on the stack: thread-safe, no allocation */
+  tree_t trees[MAX_TREES];
   uint8_t used_bytes[256];
   int n_used = 0;
 
@@ -304,7 +307,7 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
   if (err) return E_EOF;
   if (num_sel == 0) return E_GROUPS;
 
-  static uint8_t selectors[MAX_SELECTORS_HARD + 1];
+  uint8_t selectors[MAX_SELECTORS_HARD + 1];
   for (long g = 0; g < num_sel; g++) {
     int k = 0;
     for (;;) {

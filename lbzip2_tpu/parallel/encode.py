@@ -1,0 +1,79 @@
+"""Multi-worker host compression (the pthread pipeline analogue).
+
+Block data parallelism over a process pool: the native RLE1 collector
+splits the input, workers run the per-block encode stack (BWT, MTF,
+EM Huffman, bit packing), and the parent reassembles payloads in block
+order folding the combined stream CRC — the collect/encode/transmit/
+reorder task graph of src/compress.c with processes standing in for the
+worker threads (the device engine replaces the per-block BWT/MTF with
+batched TPU kernels instead).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+
+from lbzip2_tpu import native
+from lbzip2_tpu.core import crc32
+from lbzip2_tpu.core.constants import CLUSTER_FACTOR
+
+
+def _encode_worker(args) -> bytes:
+    block_bytes, cmap_bytes, crc_stored, cluster = args
+    from lbzip2_tpu.ref.encoder import encode_block
+    blk = np.frombuffer(block_bytes, np.uint8)
+    cmap = np.frombuffer(cmap_bytes, np.uint8).astype(bool)
+    return encode_block(blk, cmap, crc_stored, cluster)
+
+
+def _collect_blocks(buf: np.ndarray, mbs: int, granul: int | None):
+    if native.native_available():
+        return native.rle1_collect(buf, mbs, granul)
+    from lbzip2_tpu.ref import rle1
+    spans = rle1.rle1_blocks(buf, mbs, granul if granul else None)
+    return [(s.start, s.end, s.data, s.cmap) for s in spans]
+
+
+def compress_parallel(data: bytes | np.ndarray, level: int = 9,
+                      n_workers: int | None = None,
+                      sequential_split: bool = False,
+                      cluster_factor: int = CLUSTER_FACTOR) -> bytes:
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.ascontiguousarray(
+            data, dtype=np.uint8)
+    mbs = level * 100000
+    if n_workers is None:
+        n_workers = os.cpu_count() or 1
+
+    blocks = _collect_blocks(buf, mbs, None if sequential_split else mbs)
+
+    crcs = []
+    jobs = []
+    for (a, b, blk, cmap) in blocks:
+        if native.native_available():
+            crc_stored = (native.crc32_block(buf[a:b]) ^ 0xFFFFFFFF) \
+                & 0xFFFFFFFF
+        else:
+            crc_stored = crc32.crc_of(buf[a:b])
+        crcs.append(crc_stored)
+        jobs.append((blk.tobytes(), cmap.astype(np.uint8).tobytes(),
+                     crc_stored, cluster_factor))
+
+    parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
+    if len(jobs) <= 1 or n_workers <= 1:
+        payloads = [_encode_worker(j) for j in jobs]
+    else:
+        with ProcessPoolExecutor(max_workers=min(n_workers,
+                                                 len(jobs))) as pool:
+            payloads = list(pool.map(_encode_worker, jobs, chunksize=1))
+
+    combined = 0
+    for payload, crc_stored in zip(payloads, crcs):
+        parts.append(payload)
+        combined = crc32.combine_crc(combined, crc_stored)
+    parts.append(bytes([0x17, 0x72, 0x45, 0x38, 0x50, 0x90]) +
+                 combined.to_bytes(4, "big"))
+    return b"".join(parts)
