@@ -68,6 +68,22 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p]
+        lib.lbz2_encode_payload.restype = ctypes.c_long
+        lib.lbz2_encode_payload.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        lib.lbz2_encode_payload_from_mtfv.restype = ctypes.c_long
+        lib.lbz2_encode_payload_from_mtfv.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p]
+        lib.lbz2_bwt.restype = ctypes.c_long
+        lib.lbz2_bwt.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.lbz2_encode_block.restype = ctypes.c_long
+        lib.lbz2_encode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -131,6 +147,74 @@ def retrieve_block(data: np.ndarray, nbits: int, bitpos: int):
     if err != 0:
         return int(err), bitpos, None, 0, 0
     return 0, int(pos.value), out[:size.value], int(idx.value), int(rnd.value)
+
+
+def encode_payload(bwt_bytes: np.ndarray, cmap_bool: np.ndarray,
+                   bwt_idx: int, crc_stored: int,
+                   cluster_factor: int = 8) -> bytes:
+    """Entropy-encode one block from its BWT bytes (C MTF+RLE2+EM+pack)."""
+    lib = get_lib()
+    bwt_bytes = np.ascontiguousarray(bwt_bytes, dtype=np.uint8)
+    cmap = np.ascontiguousarray(cmap_bool, dtype=np.uint8)
+    mtfv = np.empty(900000 + 50 + 2, np.uint16)
+    out = np.empty(len(bwt_bytes) + (len(bwt_bytes) >> 1) + 4096, np.uint8)
+    ln = lib.lbz2_encode_payload(
+        bwt_bytes.ctypes.data_as(ctypes.c_void_p), bwt_bytes.size,
+        cmap.ctypes.data_as(ctypes.c_void_p), bwt_idx,
+        crc_stored & 0xFFFFFFFF, cluster_factor,
+        mtfv.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    assert ln > 0
+    return out[:ln].tobytes()
+
+
+def encode_payload_from_mtfv(mtfv: np.ndarray, cmap_bool: np.ndarray,
+                             bwt_idx: int, crc_stored: int,
+                             cluster_factor: int = 8) -> bytes:
+    """Entropy-encode from precomputed MTF values (device MTF path)."""
+    lib = get_lib()
+    nm = mtfv.size
+    buf = np.empty(nm + 50 + 2, np.uint16)
+    buf[:nm] = mtfv
+    cmap = np.ascontiguousarray(cmap_bool, dtype=np.uint8)
+    out = np.empty(nm * 2 + 8192, np.uint8)
+    ln = lib.lbz2_encode_payload_from_mtfv(
+        buf.ctypes.data_as(ctypes.c_void_p), nm,
+        cmap.ctypes.data_as(ctypes.c_void_p), bwt_idx,
+        crc_stored & 0xFFFFFFFF, cluster_factor,
+        out.ctypes.data_as(ctypes.c_void_p))
+    assert ln > 0
+    return out[:ln].tobytes()
+
+
+def bwt(block: np.ndarray) -> tuple[np.ndarray, int]:
+    """SA-IS rotation BWT; identical output to the prefix-doubling oracle."""
+    lib = get_lib()
+    block = np.ascontiguousarray(block, dtype=np.uint8)
+    out = np.empty(block.size, np.uint8)
+    idx = lib.lbz2_bwt(block.ctypes.data_as(ctypes.c_void_p), block.size,
+                       out.ctypes.data_as(ctypes.c_void_p))
+    assert idx >= 0
+    return out, int(idx)
+
+
+def encode_block(block: np.ndarray, cmap_bool: np.ndarray,
+                 crc_stored: int, cluster_factor: int = 8) -> bytes:
+    """Full native block encode: SA-IS BWT + MTF/RLE2/EM/bitpack."""
+    lib = get_lib()
+    block = np.ascontiguousarray(block, dtype=np.uint8)
+    cmap = np.ascontiguousarray(cmap_bool, dtype=np.uint8)
+    bwt_scr = np.empty(block.size, np.uint8)
+    mtfv_scr = np.empty(block.size + 50 + 2, np.uint16)
+    out = np.empty(block.size + (block.size >> 1) + 8192, np.uint8)
+    ln = lib.lbz2_encode_block(
+        block.ctypes.data_as(ctypes.c_void_p), block.size,
+        cmap.ctypes.data_as(ctypes.c_void_p), crc_stored & 0xFFFFFFFF,
+        cluster_factor, bwt_scr.ctypes.data_as(ctypes.c_void_p),
+        mtfv_scr.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    assert ln > 0
+    return out[:ln].tobytes()
 
 
 def ibwt_emit(bwt: np.ndarray, idx: int, rand_flag: int,

@@ -509,3 +509,17 @@ long lbz2_ibwt_emit(const uint8_t *bwt, long n, long idx, int rand_flag,
   *crc_out = crc;
   return op;
 }
+
+#include "entropy.c"
+#include "sais.c"
+
+/* Full block encode: BWT (SA-IS) + entropy, host-only path. */
+long lbz2_encode_block(const uint8_t *block, long n,
+                       const uint8_t *cmap_used, uint32_t crc_stored,
+                       int cluster_factor, uint8_t *bwt_scratch,
+                       uint16_t *mtfv_scratch, uint8_t *out) {
+  long idx = lbz2_bwt(block, n, bwt_scratch);
+  if (idx < 0) return -1;
+  return lbz2_encode_payload(bwt_scratch, n, cmap_used, idx, crc_stored,
+                             cluster_factor, mtfv_scratch, out);
+}

@@ -1,0 +1,165 @@
+/* sais.c — clean-room SA-IS suffix array construction + rotation BWT.
+ *
+ * Standard induced-sorting algorithm (Nong/Zhang/Chan, "Two Efficient
+ * Algorithms for Linear Time Suffix Array Construction").  Used for the
+ * host-path BWT: the rotation sort of block T is obtained from the
+ * suffix array of T.T (doubled string, virtual sentinel) restricted to
+ * positions < n — this yields exactly the same order and tie-breaking
+ * as the prefix-doubling oracle (equal rotations order by position,
+ * since T[0..i) is always a prefix of T[0..j) for i<j).
+ *
+ * Replaces the role of the reference's divsufsort (src/divbwt.c) with a
+ * different algorithm; output BWT strings are identical by correctness
+ * of any rotation sort.
+ */
+
+#include <stdlib.h>
+
+/* induced sort of suffix array for s[0..n-1] over alphabet K.
+ * SA must have room for n entries.  t: type array scratch (n bytes).
+ * bkt: bucket scratch (K+1 ints). */
+
+static void sais_int(const int32_t *s, int32_t *SA, int32_t n, int32_t K);
+
+static void get_buckets(const int32_t *s, int32_t *bkt, int32_t n,
+                        int32_t K, int end) {
+  int32_t i, sum = 0;
+  for (i = 0; i < K; i++) bkt[i] = 0;
+  for (i = 0; i < n; i++) bkt[s[i]]++;
+  for (i = 0; i < K; i++) {
+    sum += bkt[i];
+    bkt[i] = end ? sum : sum - bkt[i];
+  }
+}
+
+#define IS_S(i) (t[(i) >> 3] & (1 << ((i) & 7)))
+#define SET_S(i) (t[(i) >> 3] |= (uint8_t)(1 << ((i) & 7)))
+#define CLR_S(i) (t[(i) >> 3] &= (uint8_t)~(1 << ((i) & 7)))
+
+static void induce_sa(const int32_t *s, int32_t *SA, const uint8_t *t,
+                      int32_t *bkt, int32_t n, int32_t K) {
+  int32_t i, j;
+  /* induce L-type left-to-right */
+  get_buckets(s, bkt, n, K, 0);
+  /* virtual sentinel's predecessor: s[n-1] is L-type w.r.t. sentinel */
+  j = n - 1;
+  if (!(IS_S(j))) SA[bkt[s[j]]++] = j;
+  for (i = 0; i < n; i++) {
+    j = SA[i] - 1;
+    if (SA[i] > 0 && !(IS_S(j))) SA[bkt[s[j]]++] = j;
+  }
+  /* induce S-type right-to-left */
+  get_buckets(s, bkt, n, K, 1);
+  for (i = n - 1; i >= 0; i--) {
+    j = SA[i] - 1;
+    if (SA[i] > 0 && IS_S(j)) SA[--bkt[s[j]]] = j;
+  }
+}
+
+static void sais_int(const int32_t *s, int32_t *SA, int32_t n, int32_t K) {
+  int32_t i, j;
+  if (n == 0) return;
+  if (n == 1) { SA[0] = 0; return; }
+
+  uint8_t *t = (uint8_t *)calloc(((size_t)n >> 3) + 1, 1);
+  int32_t *bkt = (int32_t *)malloc(sizeof(int32_t) * (size_t)(K + 1));
+
+  /* classify: position n-1 is L? With virtual sentinel (smallest) at n:
+     s[n-1] > sentinel => L-type. */
+  CLR_S(n - 1);
+  for (i = n - 2; i >= 0; i--) {
+    if (s[i] < s[i + 1] || (s[i] == s[i + 1] && IS_S(i + 1))) SET_S(i);
+  }
+
+  /* step 1: place LMS suffixes at bucket ends (in any order) */
+  get_buckets(s, bkt, n, K, 1);
+  for (i = 0; i < n; i++) SA[i] = -1;
+  int32_t n_lms = 0;
+  for (i = 1; i < n; i++)
+    if (IS_S(i) && !IS_S(i - 1)) { SA[--bkt[s[i]]] = i; n_lms++; }
+  induce_sa(s, SA, t, bkt, n, K);
+
+  /* step 2: compact sorted LMS positions into SA[0..n_lms) */
+  int32_t m = 0;
+  for (i = 0; i < n; i++) {
+    j = SA[i];
+    if (j > 0 && IS_S(j) && !IS_S(j - 1)) SA[m++] = j;
+  }
+  /* name LMS substrings */
+  for (i = m; i < n; i++) SA[i] = -1;
+  int32_t name = 0, prev = -1;
+  for (i = 0; i < m; i++) {
+    int32_t pos = SA[i];
+    int diff = 0;
+    if (prev == -1) diff = 1;
+    else {
+      /* compare LMS substrings at pos and prev */
+      for (j = 0; ; j++) {
+        if (pos + j >= n || prev + j >= n) { diff = 1; break; }
+        if (s[pos + j] != s[prev + j]) { diff = 1; break; }
+        int ps = IS_S(pos + j) && (pos + j > 0) && !IS_S(pos + j - 1);
+        int qs = IS_S(prev + j) && (prev + j > 0) && !IS_S(prev + j - 1);
+        if (j > 0 && (ps || qs)) { diff = !(ps && qs); break; }
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    SA[m + pos / 2] = name - 1;
+  }
+  /* compact names */
+  int32_t *s1 = SA + n - m;
+  for (i = n - 1, j = n - 1; i >= m; i--)
+    if (SA[i] >= 0) SA[j--] = SA[i];
+
+  /* step 3: sort LMS order */
+  if (name < m) {
+    sais_int(s1, SA, m, name);
+  } else {
+    for (i = 0; i < m; i++) SA[s1[i]] = i;
+  }
+  /* map reduced SA back to LMS positions */
+  int32_t *lms = bkt ? NULL : NULL;
+  (void)lms;
+  {
+    /* collect LMS positions in order of appearance into s1 */
+    int32_t k2 = 0;
+    for (i = 1; i < n; i++)
+      if (IS_S(i) && !IS_S(i - 1)) s1[k2++] = i;
+    for (i = 0; i < m; i++) SA[i] = s1[SA[i]];
+  }
+
+  /* step 4: final induced sort from sorted LMS */
+  for (i = m; i < n; i++) SA[i] = -1;
+  get_buckets(s, bkt, n, K, 1);
+  for (i = m - 1; i >= 0; i--) {
+    j = SA[i];
+    SA[i] = -1;
+    SA[--bkt[s[j]]] = j;
+  }
+  induce_sa(s, SA, t, bkt, n, K);
+
+  free(t);
+  free(bkt);
+}
+
+/* Rotation-sort BWT of T[0..n): returns primary index, fills bwt_out. */
+long lbz2_bwt(const uint8_t *T, long n, uint8_t *bwt_out) {
+  if (n <= 0) return -1;
+  if (n == 1) { bwt_out[0] = T[0]; return 0; }
+  long nn = 2 * n;
+  int32_t *s = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
+  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
+  if (!s || !SA) { free(s); free(SA); return -2; }
+  for (long i = 0; i < n; i++) { s[i] = T[i]; s[i + n] = T[i]; }
+  sais_int(s, SA, (int32_t)nn, 256);
+  long r = 0, idx = -1;
+  for (long i = 0; i < nn; i++) {
+    int32_t p = SA[i];
+    if (p < n) {
+      if (p == 0) idx = r;
+      bwt_out[r++] = T[p == 0 ? n - 1 : p - 1];
+    }
+  }
+  free(s);
+  free(SA);
+  return idx;
+}

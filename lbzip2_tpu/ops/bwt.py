@@ -76,9 +76,9 @@ def bwt_masked(block: jnp.ndarray, n: jnp.ndarray,
             jnp.where(valid, rank, -1)) == n - 1))
 
     # Tie-break any residual equal ranks (fully periodic blocks) by
-    # original index: final stable sort by (rank, idx).
+    # DESCENDING original index (matches ref/bwt.py and native/sais.c).
     k1 = jnp.where(valid, rank, _INF)
-    _, _, si = jax.lax.sort((k1, idx, idx), num_keys=2)
+    _, _, si = jax.lax.sort((k1, N - 1 - idx, idx), num_keys=2)
     final_rank = jnp.zeros(N, jnp.int32).at[si].set(idx)
 
     prev = jnp.where(idx == 0, n - 1, idx - 1)

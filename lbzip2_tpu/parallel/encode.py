@@ -12,7 +12,7 @@ batched TPU kernels instead).
 from __future__ import annotations
 
 import os
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -23,8 +23,13 @@ from lbzip2_tpu.core.constants import CLUSTER_FACTOR
 
 def _encode_worker(args) -> bytes:
     block_bytes, cmap_bytes, crc_stored, cluster = args
-    from lbzip2_tpu.ref.encoder import encode_block
     blk = np.frombuffer(block_bytes, np.uint8)
+    if native.native_available():
+        # C SA-IS BWT + C entropy stage; releases the GIL, so thread
+        # pools scale across cores without pickling.
+        cmap_u8 = np.frombuffer(cmap_bytes, np.uint8)
+        return native.encode_block(blk, cmap_u8, crc_stored, cluster)
+    from lbzip2_tpu.ref.encoder import encode_block
     cmap = np.frombuffer(cmap_bytes, np.uint8).astype(bool)
     return encode_block(blk, cmap, crc_stored, cluster)
 
@@ -65,6 +70,10 @@ def compress_parallel(data: bytes | np.ndarray, level: int = 9,
     parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
     if len(jobs) <= 1 or n_workers <= 1:
         payloads = [_encode_worker(j) for j in jobs]
+    elif native.native_available():
+        with ThreadPoolExecutor(max_workers=min(n_workers,
+                                                len(jobs))) as pool:
+            payloads = list(pool.map(_encode_worker, jobs))
     else:
         with ProcessPoolExecutor(max_workers=min(n_workers,
                                                  len(jobs))) as pool:

@@ -35,7 +35,11 @@ def bwt(block: np.ndarray) -> tuple[np.ndarray, int]:
         if bump[-1] == n - 1:
             break
         k <<= 1
-    order = np.lexsort((np.arange(n), rank))
+    # Equal rotations (fully periodic blocks) tie-break by DESCENDING
+    # position: this matches both the doubled-string SA-IS formulation
+    # (native/sais.c) and the reference divbwt on small periodic inputs
+    # (e.g. "abababab" -> idx 3); the BWT string itself is unaffected.
+    order = np.lexsort((-np.arange(n), rank))
     out = block[(order - 1) % n]
     idx = int(np.flatnonzero(order == 0)[0])
     return out, idx
