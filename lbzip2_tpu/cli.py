@@ -319,8 +319,22 @@ def _engine_decompress(data: bytes, opts: Options) -> bytes:
     return prod_dec(data)
 
 
-def _work(ctx: _Ctx, opts: Options, infd, outfd) -> tuple[int, int]:
+class _NullWriter:
+    def write(self, b):
+        return len(b)
+
+
+def _work(ctx: _Ctx, opts: Options, infd, outfd,
+          in_size: int | None = None, in_name: str = "") -> tuple[int, int]:
     """Read input, transform, write output.  Returns (in_len, out_len)."""
+    engine = os.environ.get("LBZIP2_TPU_ENGINE", "auto")
+    if not opts.decompress and engine == "auto" and not opts.ultra:
+        # Streaming bounded-memory path (reference memory policy).
+        from lbzip2_tpu.parallel.scheduler import CompressScheduler
+        sched = CompressScheduler(
+            opts.bs100k, opts.num_worker, outfd or _NullWriter(),
+            verbose=opts.verbose, in_size=in_size, progress_name=in_name)
+        return sched.run(infd.read)
     data = infd.read()
     if not opts.decompress:
         out = _engine_compress(data, opts)
@@ -410,7 +424,9 @@ def _process_operand(ctx: _Ctx, opts: Options, operand: str | None) -> None:
         verb = "decompressing" if opts.decompress else "compressing"
         _info(ctx, f"{verb} {in_name} to {out_name}")
 
-    in_len, out_len = _work(ctx, opts, infd, outfd)
+    in_size = instat.st_size if (instat and stat.S_ISREG(instat.st_mode)) \
+        else None
+    in_len, out_len = _work(ctx, opts, infd, outfd, in_size, in_name)
 
     # --- finalize (src/main.c:935-962) ---
     if opts.outmode == OM_REGF:
