@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from lbzip2_tpu import native
 from lbzip2_tpu.core import crc32
 from lbzip2_tpu.core.constants import CLUSTER_FACTOR
 from lbzip2_tpu.ref import rle1
@@ -72,7 +73,19 @@ def compress(data: bytes | np.ndarray, level: int = 9,
         bwt_out = np.asarray(bwt_out)
         bwt_idx = np.asarray(bwt_idx)
 
-        # Map BWT bytes to compact symbols on host (cheap), rank on device.
+        if native.native_available():
+            # Device BWT -> C entropy stage (C does MTF+RLE2+EM+pack).
+            for row, i in enumerate(idxs):
+                span = blocks[i]
+                crc_stored = (native.crc32_block(buf[span.start:span.end])
+                              ^ 0xFFFFFFFF) & 0xFFFFFFFF
+                payloads[i] = native.encode_payload(
+                    bwt_out[row, :ns[row]], np.asarray(span.cmap, np.uint8),
+                    int(bwt_idx[row]), crc_stored, cluster_factor)
+            continue
+
+        # Pure-Python fallback: device MTF ranks -> vectorized RLE2 ->
+        # oracle entropy coder.
         syms = np.zeros((len(idxs), bucket), dtype=np.int32)
         for row, i in enumerate(idxs):
             cmap = make_cmap(blocks[i].cmap)
