@@ -335,7 +335,45 @@ def _work(ctx: _Ctx, opts: Options, infd, outfd,
             opts.bs100k, opts.num_worker, outfd or _NullWriter(),
             verbose=opts.verbose, in_size=in_size, progress_name=in_name)
         return sched.run(infd.read)
-    data = infd.read()
+    if opts.decompress and engine == "auto":
+        # Streaming decode (sniff 4-byte header like src/process.c:664).
+        from lbzip2_tpu import native as _native
+        header = infd.read(4)
+        magic_ok = (len(header) == 4 and header[:3] == b"BZh"
+                    and 0x31 <= header[3] <= 0x39)
+        sink = outfd if outfd is not None else _NullWriter()
+        if magic_ok and _native.native_available():
+            from lbzip2_tpu.parallel.decode import decompress_stream
+            first = [header]
+
+            def read_chunk(n):
+                if first:
+                    return first.pop() + infd.read(max(0, n - 4))
+                return infd.read(n)
+
+            try:
+                return decompress_stream(read_chunk, sink.write,
+                                         n_workers=opts.num_worker)
+            except StreamError as e:
+                from lbzip2_tpu.core.constants import ERROR_MESSAGES
+                _fail(ctx, "compressed data error: "
+                           f"{ERROR_MESSAGES.get(e.code, e.code.name)}")
+        if not magic_ok:
+            if opts.force and outfd is sys.stdout.buffer:
+                # copy passthrough (src/process.c:584-608)
+                sink.write(header)
+                total = len(header)
+                while True:
+                    chunk = infd.read(1 << 20)
+                    if not chunk:
+                        break
+                    sink.write(chunk)
+                    total += len(chunk)
+                return total, total
+            _fail(ctx, "not a valid bzip2 file")
+        data = header + infd.read()
+    else:
+        data = infd.read()
     if not opts.decompress:
         out = _engine_compress(data, opts)
     else:

@@ -161,3 +161,150 @@ def decompress_parallel(data: bytes, n_workers: int | None = None) -> bytes:
             raise StreamError(Error.ERR_HEADER)
 
     return b"".join(out_parts)
+
+
+class _StreamBuf:
+    """Sliding input window with absolute bit addressing."""
+
+    def __init__(self, read_chunk, chunk_size: int):
+        self.read_chunk = read_chunk
+        self.chunk_size = chunk_size
+        self.base = 0  # absolute byte offset of buf[0]
+        self.buf = b""
+        self.eof = False
+        self._lock = __import__("threading").Lock()
+
+    def extend(self) -> bool:
+        # Serialized: speculative workers and the parser both extend.
+        with self._lock:
+            if self.eof:
+                return False
+            chunk = self.read_chunk(self.chunk_size)
+            if not chunk:
+                self.eof = True
+                return False
+            self.buf += chunk
+            return True
+
+    def ensure_bits(self, abs_bit: int, nbits: int) -> bool:
+        """True if [abs_bit, abs_bit+nbits) is in the buffer (extending
+        as needed)."""
+        while (self.base + len(self.buf)) * 8 < abs_bit + nbits:
+            if not self.extend():
+                return False
+        return True
+
+    def drop_before(self, abs_bit: int) -> None:
+        keep_from = abs_bit // 8 - self.base
+        if keep_from > self.chunk_size:
+            self.buf = self.buf[keep_from:]
+            self.base += keep_from
+
+    def arr(self) -> np.ndarray:
+        return np.frombuffer(self.buf, np.uint8)
+
+    def read_bits(self, abs_bit: int, k: int) -> int:
+        if not self.ensure_bits(abs_bit, k):
+            raise EOFError
+        return _read_bits(self.arr(), abs_bit - self.base * 8, k)
+
+
+def decompress_stream(read_chunk, write, n_workers: int | None = None,
+                      chunk_size: int = 4 << 20) -> tuple[int, int]:
+    """Streaming decode with bounded input memory.
+
+    read_chunk(n) -> bytes supplies input; write(bytes) consumes output.
+    Returns (bytes_in, bytes_out).  Semantics identical to
+    decompress_parallel; blocks whose payload crosses the current window
+    are retried after extending it (the resumable-coroutine analogue).
+    """
+    if n_workers is None:
+        n_workers = min(32, os.cpu_count() or 1)
+    sb = _StreamBuf(read_chunk, chunk_size)
+    if not sb.ensure_bits(0, 32):
+        raise StreamError(Error.ERR_MAGIC)
+    hdr = sb.read_bits(0, 32)
+    if (hdr >> 8) != 0x425A68 or not (0x31 <= (hdr & 0xFF) <= 0x39):
+        raise StreamError(Error.ERR_MAGIC)
+    level = (hdr & 0xFF) - 0x30
+    pos = 32
+    combined = 0
+    total_out = 0
+
+    def decode_at(p: int):
+        """Decode the block whose magic is at absolute bit p, extending
+        the window until the payload fits."""
+        while True:
+            arr = sb.arr()
+            res = _decode_candidate(arr, arr.size * 8,
+                                    p + 80 - sb.base * 8)
+            if res["err"] == Error.ERR_EOF.value and sb.extend():
+                continue
+            if res.get("end") is not None:
+                res["end"] += sb.base * 8
+            return res
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        pending: dict[int, object] = {}
+
+        def refresh_speculation():
+            # scan current window for candidates ahead of the parser
+            arr = sb.arr()
+            local = scan_magic_bits(arr)
+            for lp in local:
+                ap = int(lp) + sb.base * 8
+                if ap > pos and ap not in pending and len(pending) < \
+                        4 * n_workers:
+                    pending[ap] = pool.submit(decode_at, ap)
+
+        while True:
+            try:
+                magic = sb.read_bits(pos, 48)
+            except EOFError:
+                raise StreamError(Error.ERR_EOF)
+            if magic == BLOCK_MAGIC:
+                try:
+                    crc_stored = sb.read_bits(pos + 48, 32)
+                except EOFError:
+                    raise StreamError(Error.ERR_EOF)
+                refresh_speculation()
+                fut = pending.pop(pos, None)
+                res = fut.result() if fut is not None else decode_at(pos)
+                if res["err"] != 0:
+                    raise StreamError(_ERR_BY_VALUE.get(
+                        res["err"], Error.ERR_HEADER))
+                if res["size"] > level * 100000:
+                    raise StreamError(Error.ERR_OVERFLOW)
+                if res["crc"] != crc_stored:
+                    raise StreamError(Error.ERR_BLKCRC)
+                write(res["plain"].tobytes())
+                total_out += res["plain"].size
+                combined = crc32.combine_crc(combined, crc_stored)
+                pos = res["end"]
+                # drop consumed input once speculative futures for the
+                # old region have been superseded
+                if not pending:
+                    sb.drop_before(pos)
+                continue
+            if magic == EOS_MAGIC:
+                try:
+                    stored = sb.read_bits(pos + 48, 32)
+                except EOFError:
+                    raise StreamError(Error.ERR_EOF)
+                pos += 80
+                if stored != combined:
+                    raise StreamError(Error.ERR_STRMCRC)
+                pos += (-pos) % 8
+                if sb.ensure_bits(pos, 32):
+                    hdr = sb.read_bits(pos, 32)
+                    if (hdr >> 8) == 0x425A68 and \
+                            0x31 <= (hdr & 0xFF) <= 0x39:
+                        pos += 32
+                        level = (hdr & 0xFF) - 0x30
+                        combined = 0
+                        continue
+                break
+            raise StreamError(Error.ERR_HEADER)
+
+    total_in = sb.base + len(sb.buf)
+    return total_in, total_out
