@@ -46,31 +46,57 @@ def build_corpus(size: int) -> bytes:
     return b"".join(out)[:size]
 
 
+def _device_alive(timeout_s: int = 120) -> bool:
+    """Probe the TPU in a subprocess so a hung tunnel can't wedge bench."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.arange(128))))"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"8128" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if os.environ.get("BENCH_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    from lbzip2_tpu.codec.encoder import compress
-
     size = int(os.environ.get("BENCH_SIZE", str(18 * 900000)))
     level = 9
     data = build_corpus(size)
 
-    # Warm-up on a slice with the same bucket shapes to populate the
-    # compilation cache, then measure end-to-end.
-    _ = compress(data[:2 * 900000 + 1000], level)
-
-    t0 = time.time()
-    out = compress(data, level)
-    dt = time.time() - t0
+    use_device = (os.environ.get("BENCH_PLATFORM") == "cpu") or \
+        _device_alive()
 
     import bz2
+    if use_device:
+        from lbzip2_tpu.codec.encoder import compress
+        # Warm-up on a slice with the same bucket shapes to populate
+        # the compilation cache, then measure end-to-end.
+        _ = compress(data[:2 * 900000 + 1000], level)
+        t0 = time.time()
+        out = compress(data, level)
+        dt = time.time() - t0
+        metric = "compress_MBps_per_chip_end_to_end_level9"
+    else:
+        # TPU tunnel unavailable: report the host-parallel pipeline so
+        # the round still records an honest end-to-end number.
+        from lbzip2_tpu.parallel.encode import compress_parallel
+        _ = compress_parallel(data[:900000], level)
+        t0 = time.time()
+        out = compress_parallel(data, level)
+        dt = time.time() - t0
+        metric = "compress_MBps_host_fallback_level9"
+
     assert bz2.decompress(out) == data, "output failed libbzip2 validation"
 
     mbps = len(data) / dt / 1e6
     print(json.dumps({
-        "metric": "compress_MBps_per_chip_end_to_end_level9",
+        "metric": metric,
         "value": round(mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(mbps / PER_CHIP_TARGET_MBPS, 4),
