@@ -42,10 +42,12 @@ def _collect_blocks(buf: np.ndarray, mbs: int, granul: int | None):
     return [(s.start, s.end, s.data, s.cmap) for s in spans]
 
 
-def compress_parallel(data: bytes | np.ndarray, level: int = 9,
-                      n_workers: int | None = None,
-                      sequential_split: bool = False,
-                      cluster_factor: int = CLUSTER_FACTOR) -> bytes:
+def compress_blocks(data: bytes | np.ndarray, level: int = 9,
+                    n_workers: int | None = None,
+                    sequential_split: bool = False,
+                    cluster_factor: int = CLUSTER_FACTOR
+                    ) -> tuple[list[bytes], list[int]]:
+    """Encode all blocks; returns (payloads, stored block CRCs)."""
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.ascontiguousarray(
             data, dtype=np.uint8)
@@ -67,7 +69,6 @@ def compress_parallel(data: bytes | np.ndarray, level: int = 9,
         jobs.append((blk.tobytes(), cmap.astype(np.uint8).tobytes(),
                      crc_stored, cluster_factor))
 
-    parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
     if len(jobs) <= 1 or n_workers <= 1:
         payloads = [_encode_worker(j) for j in jobs]
     elif native.native_available():
@@ -78,7 +79,16 @@ def compress_parallel(data: bytes | np.ndarray, level: int = 9,
         with ProcessPoolExecutor(max_workers=min(n_workers,
                                                  len(jobs))) as pool:
             payloads = list(pool.map(_encode_worker, jobs, chunksize=1))
+    return payloads, crcs
 
+
+def compress_parallel(data: bytes | np.ndarray, level: int = 9,
+                      n_workers: int | None = None,
+                      sequential_split: bool = False,
+                      cluster_factor: int = CLUSTER_FACTOR) -> bytes:
+    payloads, crcs = compress_blocks(data, level, n_workers,
+                                     sequential_split, cluster_factor)
+    parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
     combined = 0
     for payload, crc_stored in zip(payloads, crcs):
         parts.append(payload)
