@@ -356,7 +356,7 @@ def _work(ctx: _Ctx, opts: Options, infd, outfd,
                                          n_workers=opts.num_worker)
             except StreamError as e:
                 from lbzip2_tpu.core.constants import ERROR_MESSAGES
-                _fail(ctx, "compressed data error: "
+                _fail(ctx, f"{in_name}: compressed data error: "
                            f"{ERROR_MESSAGES.get(e.code, e.code.name)}")
         if not magic_ok:
             if opts.force and outfd is sys.stdout.buffer:
@@ -370,7 +370,7 @@ def _work(ctx: _Ctx, opts: Options, infd, outfd,
                     sink.write(chunk)
                     total += len(chunk)
                 return total, total
-            _fail(ctx, "not a valid bzip2 file")
+            _fail(ctx, f"{in_name}: not a valid bzip2 file")
         data = header + infd.read()
     else:
         data = infd.read()
@@ -384,12 +384,12 @@ def _work(ctx: _Ctx, opts: Options, infd, outfd,
                 out = _engine_decompress(data, opts)
             except StreamError as e:
                 from lbzip2_tpu.core.constants import ERROR_MESSAGES
-                _fail(ctx, "compressed data error: "
+                _fail(ctx, f"{in_name}: compressed data error: "
                            f"{ERROR_MESSAGES.get(e.code, e.code.name)}")
         elif opts.force and outfd is sys.stdout.buffer:
             out = data  # copy passthrough (src/process.c:584-608)
         else:
-            _fail(ctx, "not a valid bzip2 file")
+            _fail(ctx, f"{in_name}: not a valid bzip2 file")
     if outfd is not None:
         outfd.write(out)
     return len(data), len(out)

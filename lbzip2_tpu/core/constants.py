@@ -79,15 +79,15 @@ class StreamError(Exception):
         super().__init__(f"{code.name}: {message}" if message else code.name)
 
 
-#: Human-readable messages matching the reference CLI wording where the
-#: reference defines one (src/expand.c err2str analogue).
+#: Human-readable messages matching the reference CLI wording exactly
+#: (src/expand.c:69-93 err2str).
 ERROR_MESSAGES = {
     Error.ERR_MAGIC: "bad stream header magic",
     Error.ERR_HEADER: "bad block header magic",
-    Error.ERR_BITMAP: "invalid character map",
-    Error.ERR_TREES: "invalid number of prefix trees",
-    Error.ERR_GROUPS: "invalid number of code groups",
-    Error.ERR_SELECTOR: "invalid tree selector",
+    Error.ERR_BITMAP: "empty source alphabet",
+    Error.ERR_TREES: "bad number of trees",
+    Error.ERR_GROUPS: "no coding groups",
+    Error.ERR_SELECTOR: "invalid selector",
     Error.ERR_DELTA: "invalid delta code",
     Error.ERR_PREFIX: "invalid prefix code",
     Error.ERR_INCOMPLT: "incomplete prefix code",

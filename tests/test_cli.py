@@ -187,3 +187,23 @@ def test_metadata_restore(tmp_path):
 
 def stat_mode(st):
     return st.st_mode & 0o777
+
+
+def test_error_messages_match_reference_binary():
+    """Error wording parity with lbzip2 (expand.c err2str)."""
+    import glob
+    import pathlib
+    if not pathlib.Path("/tmp/refbuild/lbzip2").exists():
+        import pytest
+        pytest.skip("reference binary unavailable")
+    for f in sorted(glob.glob("/root/reference/tests/*.bz2")):
+        ref = subprocess.run(["/tmp/refbuild/lbzip2", "-d", "-c", "-n1"],
+                             stdin=open(f, "rb"), capture_output=True)
+        if ref.returncode == 0:
+            continue
+        mine = run(["-d"], input=open(f, "rb").read())
+        assert mine.returncode == 1
+        # strip the program-name prefix from both
+        rmsg = ref.stderr.decode().split(": ", 1)[1].strip()
+        mmsg = mine.stderr.decode().split(": ", 1)[1].strip()
+        assert mmsg == rmsg, (f, mmsg, rmsg)
