@@ -63,6 +63,43 @@ def sharded_encode_step(mesh: Mesh, axis: str = "blocks"):
     return jax.jit(step)
 
 
+def sharded_decode_step(mesh: Mesh, axis: str = "blocks"):
+    """Sharded batched inverse-BWT: the device half of the expansion
+    pipeline (retrieve stays host/native; IBWT list-ranking on chips)."""
+    from lbzip2_tpu.ops.ibwt import ibwt_masked
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=P(axis, None),
+        check_vma=False)
+    def step(bwts, ns, idxs):
+        return jax.vmap(ibwt_masked)(bwts, ns, idxs)
+
+    return jax.jit(step)
+
+
+def decode_batch_sharded(bwts: np.ndarray, ns: np.ndarray,
+                         idxs: np.ndarray, mesh: Mesh | None = None):
+    """Run the sharded IBWT; returns host numpy plain-byte blocks."""
+    if mesh is None:
+        mesh = make_mesh()
+    naxis = mesh.devices.size
+    B = bwts.shape[0]
+    padB = (-B) % naxis
+    if padB:
+        bwts = np.concatenate(
+            [bwts, np.zeros((padB,) + bwts.shape[1:], bwts.dtype)])
+        ns = np.concatenate([ns, np.ones(padB, ns.dtype)])
+        idxs = np.concatenate([idxs, np.zeros(padB, idxs.dtype)])
+    step = sharded_decode_step(mesh)
+    out = step(
+        jax.device_put(bwts, NamedSharding(mesh, P("blocks", None))),
+        jax.device_put(ns, NamedSharding(mesh, P("blocks"))),
+        jax.device_put(idxs, NamedSharding(mesh, P("blocks"))))
+    return np.asarray(out)[:B]
+
+
 def encode_batch_sharded(blocks: np.ndarray, ns: np.ndarray,
                          mesh: Mesh | None = None):
     """Run the sharded encode stage; returns host numpy arrays in order."""

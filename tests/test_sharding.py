@@ -39,3 +39,22 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_decode_roundtrip():
+    from lbzip2_tpu.parallel.sharding import (decode_batch_sharded,
+                                              encode_batch_sharded)
+    mesh = make_mesh(8)
+    N = 1024
+    rng = np.random.default_rng(3)
+    B = 9
+    blocks = np.zeros((B, N), np.uint8)
+    ns = np.empty(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(10, N))
+        blocks[b, :n] = rng.integers(0, 50, n, dtype=np.uint8)
+        ns[b] = n
+    bwts, idxs, _ = encode_batch_sharded(blocks, ns, mesh)
+    plains = decode_batch_sharded(bwts, ns, idxs.astype(np.int32), mesh)
+    for b in range(B):
+        np.testing.assert_array_equal(plains[b, :ns[b]], blocks[b, :ns[b]])
