@@ -11,23 +11,13 @@ from __future__ import annotations
 import numpy as np
 
 from lbzip2_tpu.core import crc32
+from lbzip2_tpu.core.bits import read_bits_at as _read_bits
 from lbzip2_tpu.core.constants import Error, StreamError
 from lbzip2_tpu import native
 
 _ERR_BY_VALUE = {e.value: e for e in Error}
 
 
-def _read_bits(data: np.ndarray, pos: int, k: int) -> int:
-    """k (<=56) bits MSB-first at bit offset pos; raises EOFError."""
-    nbits = data.size * 8
-    if pos + k > nbits:
-        raise EOFError
-    byte = pos >> 3
-    off = pos & 7
-    span = data[byte:byte + ((off + k + 7) >> 3) + 1]
-    v = int.from_bytes(span.tobytes(), "big")
-    total = span.size * 8
-    return (v >> (total - off - k)) & ((1 << k) - 1)
 
 
 def decompress(data: bytes | np.ndarray) -> bytes:

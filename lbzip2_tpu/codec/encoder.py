@@ -57,6 +57,7 @@ def compress(data: bytes | np.ndarray, level: int = 9,
 
     # Group block indices by bucket for batched device dispatch.
     payloads: dict[int, bytes] = {}
+    crcs: dict[int, int] = {}
     by_bucket: dict[int, list[int]] = {}
     for i, span in enumerate(blocks):
         by_bucket.setdefault(_bucket_for(span.data.size), []).append(i)
@@ -79,6 +80,7 @@ def compress(data: bytes | np.ndarray, level: int = 9,
                 span = blocks[i]
                 crc_stored = (native.crc32_block(buf[span.start:span.end])
                               ^ 0xFFFFFFFF) & 0xFFFFFFFF
+                crcs[i] = crc_stored
                 payloads[i] = native.encode_payload(
                     bwt_out[row, :ns[row]], np.asarray(span.cmap, np.uint8),
                     int(bwt_idx[row]), crc_stored, cluster_factor)
@@ -97,14 +99,14 @@ def compress(data: bytes | np.ndarray, level: int = 9,
             ninuse = int(span.cmap.sum())
             mtfv = rle2_from_ranks(ranks[row, :ns[row]], ninuse)
             crc_stored = crc32.crc_of(buf[span.start:span.end])
+            crcs[i] = crc_stored
             payloads[i] = encode_block_payload(
                 mtfv, span.cmap, int(bwt_idx[row]), crc_stored,
                 cluster_factor)
 
-    for i, span in enumerate(blocks):
+    for i in range(len(blocks)):
         parts.append(payloads[i])
-        combined = crc32.combine_crc(
-            combined, crc32.crc_of(buf[span.start:span.end]))
+        combined = crc32.combine_crc(combined, crcs[i])
 
     trailer = bytes([0x17, 0x72, 0x45, 0x38, 0x50, 0x90]) + \
         combined.to_bytes(4, "big")

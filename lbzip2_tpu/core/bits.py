@@ -82,6 +82,21 @@ def pack_bits_be(values: np.ndarray, lengths: np.ndarray) -> bytes:
     return np.packbits(bits).tobytes()
 
 
+def read_bits_at(data: np.ndarray, pos: int, k: int) -> int:
+    """k (<=56) bits MSB-first at bit offset `pos` of a uint8 array.
+
+    Constant-time (no unpacking); raises EOFError past the end.  Shared
+    by the stream walkers (codec.decoder, parallel.decode)."""
+    nbits = data.size * 8
+    if pos + k > nbits:
+        raise EOFError
+    byte = pos >> 3
+    off = pos & 7
+    span = data[byte:byte + ((off + k + 7) >> 3) + 1]
+    v = int.from_bytes(span.tobytes(), "big")
+    return (v >> (span.size * 8 - off - k)) & ((1 << k) - 1)
+
+
 class BitReader:
     """MSB-first bit reader over a byte buffer.
 

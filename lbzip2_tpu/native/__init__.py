@@ -21,7 +21,6 @@ _SO = _DIR / "lbz2_native.so"
 
 _lib = None
 _lock = threading.Lock()
-_retrieve_lock = threading.Lock()  # retrieve_block uses static buffers
 
 
 def _build() -> pathlib.Path | None:

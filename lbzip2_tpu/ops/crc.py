@@ -68,7 +68,9 @@ def crc32_device(block: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
     level = 0
     while acc.shape[0] > 1:
-        half = acc.shape[0] // 2
+        if acc.shape[0] % 2:
+            # leading zero chunk is a no-op for zero-init CRC
+            acc = jnp.concatenate([jnp.zeros(1, acc.dtype), acc])
         left, right = acc[0::2], acc[1::2]
         acc = _advance(level_tables[level], left) ^ right
         level += 1

@@ -20,6 +20,7 @@ import numpy as np
 
 from lbzip2_tpu import native
 from lbzip2_tpu.core import crc32
+from lbzip2_tpu.core.bits import read_bits_at as _read_bits
 from lbzip2_tpu.core.constants import Error, StreamError
 
 BLOCK_MAGIC = 0x314159265359
@@ -60,15 +61,6 @@ def scan_magic_bits(data: np.ndarray, magic: int = BLOCK_MAGIC
     return out
 
 
-def _read_bits(data: np.ndarray, pos: int, k: int) -> int:
-    nbits = data.size * 8
-    if pos + k > nbits:
-        raise EOFError
-    byte = pos >> 3
-    off = pos & 7
-    span = data[byte:byte + ((off + k + 7) >> 3) + 1]
-    v = int.from_bytes(span.tobytes(), "big")
-    return (v >> (span.size * 8 - off - k)) & ((1 << k) - 1)
 
 
 def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int):
@@ -126,9 +118,12 @@ def decompress_parallel(data: bytes, n_workers: int | None = None) -> bytes:
                     crc_stored = _read_bits(arr, pos + 48, 32)
                 except EOFError:
                     raise StreamError(Error.ERR_EOF)
-                fut = futs.get(pos)
+                fut = futs.pop(pos, None)
                 res = fut.result() if fut is not None else \
                     _decode_candidate(arr, nbits, pos + 80)
+                # discard false-positive candidates the parser passed
+                for stale in [p for p in futs if p <= pos]:
+                    futs.pop(stale).cancel()
                 if res["err"] != 0:
                     raise StreamError(_ERR_BY_VALUE.get(
                         res["err"], Error.ERR_HEADER))
@@ -195,13 +190,19 @@ class _StreamBuf:
         return True
 
     def drop_before(self, abs_bit: int) -> None:
-        keep_from = abs_bit // 8 - self.base
-        if keep_from > self.chunk_size:
-            self.buf = self.buf[keep_from:]
-            self.base += keep_from
+        with self._lock:
+            keep_from = abs_bit // 8 - self.base
+            if keep_from > self.chunk_size:
+                self.buf = self.buf[keep_from:]
+                self.base += keep_from
 
     def arr(self) -> np.ndarray:
         return np.frombuffer(self.buf, np.uint8)
+
+    def snapshot(self) -> tuple[np.ndarray, int]:
+        """Atomic (buffer view, base) pair for concurrent decoders."""
+        with self._lock:
+            return np.frombuffer(self.buf, np.uint8), self.base
 
     def read_bits(self, abs_bit: int, k: int) -> int:
         if not self.ensure_bits(abs_bit, k):
@@ -231,17 +232,21 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
     combined = 0
     total_out = 0
 
-    def decode_at(p: int):
-        """Decode the block whose magic is at absolute bit p, extending
-        the window until the payload fits."""
+    def decode_at(p: int, speculative: bool = False):
+        """Decode the block whose magic is at absolute bit p.
+
+        The parser-confirmed call extends the window until the payload
+        fits; speculative candidates decode only within the current
+        snapshot (a false positive must not drag the file in) and
+        report ERR_EOF, which the parser retries non-speculatively."""
         while True:
-            arr = sb.arr()
-            res = _decode_candidate(arr, arr.size * 8,
-                                    p + 80 - sb.base * 8)
-            if res["err"] == Error.ERR_EOF.value and sb.extend():
+            arr, base = sb.snapshot()
+            res = _decode_candidate(arr, arr.size * 8, p + 80 - base * 8)
+            if res["err"] == Error.ERR_EOF.value and not speculative \
+                    and sb.extend():
                 continue
             if res.get("end") is not None:
-                res["end"] += sb.base * 8
+                res["end"] += base * 8
             return res
 
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
@@ -255,7 +260,7 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
                 ap = int(lp) + sb.base * 8
                 if ap > pos and ap not in pending and len(pending) < \
                         4 * n_workers:
-                    pending[ap] = pool.submit(decode_at, ap)
+                    pending[ap] = pool.submit(decode_at, ap, True)
 
         while True:
             try:
@@ -269,7 +274,11 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
                     raise StreamError(Error.ERR_EOF)
                 refresh_speculation()
                 fut = pending.pop(pos, None)
-                res = fut.result() if fut is not None else decode_at(pos)
+                res = fut.result() if fut is not None else None
+                if res is None or res["err"] == Error.ERR_EOF.value:
+                    # miss, or speculative decode ran out of window:
+                    # authoritative decode with window extension
+                    res = decode_at(pos)
                 if res["err"] != 0:
                     raise StreamError(_ERR_BY_VALUE.get(
                         res["err"], Error.ERR_HEADER))
@@ -281,10 +290,12 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
                 total_out += res["plain"].size
                 combined = crc32.combine_crc(combined, crc_stored)
                 pos = res["end"]
-                # drop consumed input once speculative futures for the
-                # old region have been superseded
-                if not pending:
-                    sb.drop_before(pos)
+                # discard superseded/false-positive candidates, then
+                # drop consumed input behind the earliest live future
+                for stale in [p for p in pending if p <= pos]:
+                    pending.pop(stale).cancel()
+                horizon = min(pending, default=pos)
+                sb.drop_before(min(pos, horizon))
                 continue
             if magic == EOS_MAGIC:
                 try:

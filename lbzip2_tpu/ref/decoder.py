@@ -163,7 +163,11 @@ class _BlockDecoder:
 
         selectors = np.empty(num_selectors, dtype=np.int64)
         for g in range(num_selectors):
-            k = r.read_unary(max_run=6)
+            try:
+                k = r.read_unary(max_run=6)
+            except ValueError:
+                # 7+ one-bits: no selector can be that large
+                raise StreamError(Error.ERR_SELECTOR)
             if k + 1 > num_trees:
                 raise StreamError(Error.ERR_SELECTOR)
             selectors[g] = k

@@ -15,3 +15,14 @@ def test_device_crc(n):
     padded = np.zeros(N, np.uint8)
     padded[:n] = data
     assert crc32_block_device(padded, n) == crc32.crc_of(data)
+
+
+@pytest.mark.parametrize("n,N", [(96, 96), (900000, 901632), (70, 96)])
+def test_device_crc_odd_chunk_counts(n, N):
+    """Odd chunk counts at any fold level must pair correctly."""
+    from lbzip2_tpu.ops.crc import crc32_block_device
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 256, n, dtype=np.uint8)
+    padded = np.zeros(N, np.uint8)
+    padded[:n] = data
+    assert crc32_block_device(padded, n) == crc32.crc_of(data)
