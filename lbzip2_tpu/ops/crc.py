@@ -25,13 +25,15 @@ _MAX_LEVELS = 18  # supports up to 32 * 2^18 = 8 MiB blocks
 
 @functools.lru_cache(maxsize=1)
 def _tables():
-    pos_tables = jnp.asarray(hostcrc._POS_TABLES)  # (32, 256) uint32
+    # Host numpy constants (NOT jnp: caching device arrays created
+    # inside a trace would leak tracers across jit calls).
+    pos_tables = np.asarray(hostcrc._POS_TABLES)  # (32, 256) uint32
     lvl = []
     log2_chunk = 5
     for level in range(_MAX_LEVELS):
         hostcrc._OPS.ensure(log2_chunk + level)
         lvl.append(hostcrc._OPS.pow2_tabs[log2_chunk + level])
-    level_tables = jnp.asarray(np.stack(lvl))  # (L, 4, 256) uint32
+    level_tables = np.stack(lvl)  # (L, 4, 256) uint32
     return pos_tables, level_tables
 
 
@@ -51,7 +53,9 @@ def crc32_device(block: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     (crc32.crc_block does this via _OPS.advance_scalar), or uses
     :func:`crc32_device_value` for the standard stored value.
     """
-    pos_tables, level_tables = _tables()
+    pos_np, lvl_np = _tables()
+    pos_tables = jnp.asarray(pos_np)
+    level_tables = jnp.asarray(lvl_np)
     N = block.shape[0]
     assert N % _CHUNK == 0
     n = jnp.asarray(n, jnp.int32)
