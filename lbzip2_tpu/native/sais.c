@@ -16,141 +16,136 @@
 #include <stdlib.h>
 
 /* induced sort of suffix array for s[0..n-1] over alphabet K.
- * SA must have room for n entries.  t: type array scratch (n bytes).
- * bkt: bucket scratch (K+1 ints). */
+ * Instantiated twice (uint8_t level-0 input, int32_t recursion) via the
+ * SAIS_TEMPLATE macro to halve level-0 memory traffic. */
 
 static void sais_int(const int32_t *s, int32_t *SA, int32_t n, int32_t K);
-
-static void get_buckets(const int32_t *s, int32_t *bkt, int32_t n,
-                        int32_t K, int end) {
-  int32_t i, sum = 0;
-  for (i = 0; i < K; i++) bkt[i] = 0;
-  for (i = 0; i < n; i++) bkt[s[i]]++;
-  for (i = 0; i < K; i++) {
-    sum += bkt[i];
-    bkt[i] = end ? sum : sum - bkt[i];
-  }
-}
 
 #define IS_S(i) (t[(i) >> 3] & (1 << ((i) & 7)))
 #define SET_S(i) (t[(i) >> 3] |= (uint8_t)(1 << ((i) & 7)))
 #define CLR_S(i) (t[(i) >> 3] &= (uint8_t)~(1 << ((i) & 7)))
 
-static void induce_sa(const int32_t *s, int32_t *SA, const uint8_t *t,
-                      int32_t *bkt, int32_t n, int32_t K) {
-  int32_t i, j;
-  /* induce L-type left-to-right */
-  get_buckets(s, bkt, n, K, 0);
-  /* virtual sentinel's predecessor: s[n-1] is L-type w.r.t. sentinel */
-  j = n - 1;
-  if (!(IS_S(j))) SA[bkt[s[j]]++] = j;
-  for (i = 0; i < n; i++) {
-    j = SA[i] - 1;
-    if (SA[i] > 0 && !(IS_S(j))) SA[bkt[s[j]]++] = j;
-  }
-  /* induce S-type right-to-left */
-  get_buckets(s, bkt, n, K, 1);
-  for (i = n - 1; i >= 0; i--) {
-    j = SA[i] - 1;
-    if (SA[i] > 0 && IS_S(j)) SA[--bkt[s[j]]] = j;
-  }
+#define SAIS_TEMPLATE(SUFFIX, CHAR_T)                                   \
+static void get_buckets_##SUFFIX(const CHAR_T *s, int32_t *bkt,         \
+                                 int32_t n, int32_t K, int end) {       \
+  int32_t i, sum = 0;                                                   \
+  for (i = 0; i < K; i++) bkt[i] = 0;                                   \
+  for (i = 0; i < n; i++) bkt[s[i]]++;                                  \
+  for (i = 0; i < K; i++) {                                             \
+    sum += bkt[i];                                                      \
+    bkt[i] = end ? sum : sum - bkt[i];                                  \
+  }                                                                     \
+}                                                                       \
+                                                                        \
+static void induce_sa_##SUFFIX(const CHAR_T *s, int32_t *SA,            \
+                               const uint8_t *t, int32_t *bkt,          \
+                               int32_t n, int32_t K) {                  \
+  int32_t i, j;                                                         \
+  get_buckets_##SUFFIX(s, bkt, n, K, 0);                                \
+  j = n - 1;                                                            \
+  if (!(IS_S(j))) SA[bkt[s[j]]++] = j;                                  \
+  for (i = 0; i < n; i++) {                                             \
+    j = SA[i] - 1;                                                      \
+    if (SA[i] > 0 && !(IS_S(j))) SA[bkt[s[j]]++] = j;                   \
+  }                                                                     \
+  get_buckets_##SUFFIX(s, bkt, n, K, 1);                                \
+  for (i = n - 1; i >= 0; i--) {                                        \
+    j = SA[i] - 1;                                                      \
+    if (SA[i] > 0 && IS_S(j)) SA[--bkt[s[j]]] = j;                      \
+  }                                                                     \
+}                                                                       \
+                                                                        \
+static void sais_##SUFFIX(const CHAR_T *s, int32_t *SA, int32_t n,      \
+                          int32_t K) {                                  \
+  int32_t i, j;                                                         \
+  if (n == 0) return;                                                   \
+  if (n == 1) { SA[0] = 0; return; }                                    \
+                                                                        \
+  uint8_t *t = (uint8_t *)calloc(((size_t)n >> 3) + 1, 1);              \
+  int32_t *bkt = (int32_t *)malloc(sizeof(int32_t) * (size_t)(K + 1));  \
+                                                                        \
+  CLR_S(n - 1);                                                         \
+  for (i = n - 2; i >= 0; i--) {                                        \
+    if (s[i] < s[i + 1] || (s[i] == s[i + 1] && IS_S(i + 1))) SET_S(i); \
+  }                                                                     \
+                                                                        \
+  /* step 1: place LMS suffixes at bucket ends, induce */               \
+  get_buckets_##SUFFIX(s, bkt, n, K, 1);                                \
+  for (i = 0; i < n; i++) SA[i] = -1;                                   \
+  for (i = 1; i < n; i++)                                               \
+    if (IS_S(i) && !IS_S(i - 1)) SA[--bkt[s[i]]] = i;                   \
+  induce_sa_##SUFFIX(s, SA, t, bkt, n, K);                              \
+                                                                        \
+  /* step 2: compact + name LMS substrings */                           \
+  int32_t m = 0;                                                        \
+  for (i = 0; i < n; i++) {                                             \
+    j = SA[i];                                                          \
+    if (j > 0 && IS_S(j) && !IS_S(j - 1)) SA[m++] = j;                  \
+  }                                                                     \
+  for (i = m; i < n; i++) SA[i] = -1;                                   \
+  int32_t name = 0, prev = -1;                                          \
+  for (i = 0; i < m; i++) {                                             \
+    int32_t pos = SA[i];                                                \
+    int diff = 0;                                                       \
+    if (prev == -1) diff = 1;                                           \
+    else {                                                              \
+      for (j = 0; ; j++) {                                              \
+        if (pos + j >= n || prev + j >= n) { diff = 1; break; }         \
+        if (s[pos + j] != s[prev + j]) { diff = 1; break; }             \
+        int ps = IS_S(pos + j) && (pos + j > 0) && !IS_S(pos + j - 1);  \
+        int qs = IS_S(prev + j) && (prev + j > 0) &&                    \
+                 !IS_S(prev + j - 1);                                   \
+        if (j > 0 && (ps || qs)) { diff = !(ps && qs); break; }         \
+      }                                                                 \
+    }                                                                   \
+    if (diff) { name++; prev = pos; }                                   \
+    SA[m + pos / 2] = name - 1;                                         \
+  }                                                                     \
+  int32_t *s1 = SA + n - m;                                             \
+  for (i = n - 1, j = n - 1; i >= m; i--)                               \
+    if (SA[i] >= 0) SA[j--] = SA[i];                                    \
+                                                                        \
+  /* step 3: order LMS (recurse on reduced problem if names repeat) */  \
+  if (name < m) {                                                       \
+    sais_int(s1, SA, m, name);                                          \
+  } else {                                                              \
+    for (i = 0; i < m; i++) SA[s1[i]] = i;                              \
+  }                                                                     \
+  {                                                                     \
+    int32_t k2 = 0;                                                     \
+    for (i = 1; i < n; i++)                                             \
+      if (IS_S(i) && !IS_S(i - 1)) s1[k2++] = i;                        \
+    for (i = 0; i < m; i++) SA[i] = s1[SA[i]];                          \
+  }                                                                     \
+                                                                        \
+  /* step 4: final induced sort from sorted LMS */                      \
+  for (i = m; i < n; i++) SA[i] = -1;                                   \
+  get_buckets_##SUFFIX(s, bkt, n, K, 1);                                \
+  for (i = m - 1; i >= 0; i--) {                                        \
+    j = SA[i];                                                          \
+    SA[i] = -1;                                                         \
+    SA[--bkt[s[j]]] = j;                                                \
+  }                                                                     \
+  induce_sa_##SUFFIX(s, SA, t, bkt, n, K);                              \
+                                                                        \
+  free(t);                                                              \
+  free(bkt);                                                            \
 }
 
-static void sais_int(const int32_t *s, int32_t *SA, int32_t n, int32_t K) {
-  int32_t i, j;
-  if (n == 0) return;
-  if (n == 1) { SA[0] = 0; return; }
-
-  uint8_t *t = (uint8_t *)calloc(((size_t)n >> 3) + 1, 1);
-  int32_t *bkt = (int32_t *)malloc(sizeof(int32_t) * (size_t)(K + 1));
-
-  /* classify: position n-1 is L? With virtual sentinel (smallest) at n:
-     s[n-1] > sentinel => L-type. */
-  CLR_S(n - 1);
-  for (i = n - 2; i >= 0; i--) {
-    if (s[i] < s[i + 1] || (s[i] == s[i + 1] && IS_S(i + 1))) SET_S(i);
-  }
-
-  /* step 1: place LMS suffixes at bucket ends (in any order) */
-  get_buckets(s, bkt, n, K, 1);
-  for (i = 0; i < n; i++) SA[i] = -1;
-  int32_t n_lms = 0;
-  for (i = 1; i < n; i++)
-    if (IS_S(i) && !IS_S(i - 1)) { SA[--bkt[s[i]]] = i; n_lms++; }
-  induce_sa(s, SA, t, bkt, n, K);
-
-  /* step 2: compact sorted LMS positions into SA[0..n_lms) */
-  int32_t m = 0;
-  for (i = 0; i < n; i++) {
-    j = SA[i];
-    if (j > 0 && IS_S(j) && !IS_S(j - 1)) SA[m++] = j;
-  }
-  /* name LMS substrings */
-  for (i = m; i < n; i++) SA[i] = -1;
-  int32_t name = 0, prev = -1;
-  for (i = 0; i < m; i++) {
-    int32_t pos = SA[i];
-    int diff = 0;
-    if (prev == -1) diff = 1;
-    else {
-      /* compare LMS substrings at pos and prev */
-      for (j = 0; ; j++) {
-        if (pos + j >= n || prev + j >= n) { diff = 1; break; }
-        if (s[pos + j] != s[prev + j]) { diff = 1; break; }
-        int ps = IS_S(pos + j) && (pos + j > 0) && !IS_S(pos + j - 1);
-        int qs = IS_S(prev + j) && (prev + j > 0) && !IS_S(prev + j - 1);
-        if (j > 0 && (ps || qs)) { diff = !(ps && qs); break; }
-      }
-    }
-    if (diff) { name++; prev = pos; }
-    SA[m + pos / 2] = name - 1;
-  }
-  /* compact names */
-  int32_t *s1 = SA + n - m;
-  for (i = n - 1, j = n - 1; i >= m; i--)
-    if (SA[i] >= 0) SA[j--] = SA[i];
-
-  /* step 3: sort LMS order */
-  if (name < m) {
-    sais_int(s1, SA, m, name);
-  } else {
-    for (i = 0; i < m; i++) SA[s1[i]] = i;
-  }
-  /* map reduced SA back to LMS positions */
-  int32_t *lms = bkt ? NULL : NULL;
-  (void)lms;
-  {
-    /* collect LMS positions in order of appearance into s1 */
-    int32_t k2 = 0;
-    for (i = 1; i < n; i++)
-      if (IS_S(i) && !IS_S(i - 1)) s1[k2++] = i;
-    for (i = 0; i < m; i++) SA[i] = s1[SA[i]];
-  }
-
-  /* step 4: final induced sort from sorted LMS */
-  for (i = m; i < n; i++) SA[i] = -1;
-  get_buckets(s, bkt, n, K, 1);
-  for (i = m - 1; i >= 0; i--) {
-    j = SA[i];
-    SA[i] = -1;
-    SA[--bkt[s[j]]] = j;
-  }
-  induce_sa(s, SA, t, bkt, n, K);
-
-  free(t);
-  free(bkt);
-}
+SAIS_TEMPLATE(int, int32_t)
+SAIS_TEMPLATE(u8, uint8_t)
 
 /* Rotation-sort BWT of T[0..n): returns primary index, fills bwt_out. */
 long lbz2_bwt(const uint8_t *T, long n, uint8_t *bwt_out) {
   if (n <= 0) return -1;
   if (n == 1) { bwt_out[0] = T[0]; return 0; }
   long nn = 2 * n;
-  int32_t *s = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
+  uint8_t *s = (uint8_t *)malloc((size_t)nn);
   int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
   if (!s || !SA) { free(s); free(SA); return -2; }
-  for (long i = 0; i < n; i++) { s[i] = T[i]; s[i + n] = T[i]; }
-  sais_int(s, SA, (int32_t)nn, 256);
+  memcpy(s, T, (size_t)n);
+  memcpy(s + n, T, (size_t)n);
+  sais_u8(s, SA, (int32_t)nn, 256);
   long r = 0, idx = -1;
   for (long i = 0; i < nn; i++) {
     int32_t p = SA[i];
