@@ -27,6 +27,11 @@ from lbzip2_tpu.codec.rle2 import rle2_from_ranks
 # covers MAX_BLOCK_SIZE with ~0.1% padding.
 _BUCKETS = (8192, 65536, 262144, 901632)
 
+# Fixed device-batch row count: every bwt_batched call has shape
+# (_BATCH, bucket) so each bucket compiles exactly once; short batches
+# are padded with 1-byte dummy blocks.
+_BATCH = 4
+
 
 def _bucket_for(n: int) -> int:
     for b in _BUCKETS:
@@ -62,17 +67,26 @@ def compress(data: bytes | np.ndarray, level: int = 9,
     for i, span in enumerate(blocks):
         by_bucket.setdefault(_bucket_for(span.data.size), []).append(i)
 
+    # Phase 1: dispatch fixed-shape device batches (async; XLA queues
+    # them so device compute overlaps the host entropy stage below).
+    dispatched = []  # (idxs_chunk, ns, device bwt_out, device bwt_idx)
     for bucket, idxs in by_bucket.items():
-        batch = np.zeros((len(idxs), bucket), dtype=np.uint8)
-        ns = np.empty(len(idxs), dtype=np.int32)
-        for row, i in enumerate(idxs):
-            blk = blocks[i].data
-            batch[row, :blk.size] = blk
-            ns[row] = blk.size
+        for c0 in range(0, len(idxs), _BATCH):
+            chunk = idxs[c0:c0 + _BATCH]
+            batch = np.zeros((_BATCH, bucket), dtype=np.uint8)
+            ns = np.ones(_BATCH, dtype=np.int32)  # dummy rows: 1 byte
+            for row, i in enumerate(chunk):
+                blk = blocks[i].data
+                batch[row, :blk.size] = blk
+                ns[row] = blk.size
+            out, idx = bwt_batched(batch, ns)
+            dispatched.append((chunk, ns, out, idx))
 
-        bwt_out, bwt_idx = bwt_batched(batch, ns)
-        bwt_out = np.asarray(bwt_out)
-        bwt_idx = np.asarray(bwt_idx)
+    # Phase 2: drain in order through the host entropy stage.
+    for chunk, ns, out, idx in dispatched:
+        idxs = chunk
+        bwt_out = np.asarray(out)
+        bwt_idx = np.asarray(idx)
 
         if native.native_available():
             # Device BWT -> C entropy stage (C does MTF+RLE2+EM+pack).
@@ -88,7 +102,7 @@ def compress(data: bytes | np.ndarray, level: int = 9,
 
         # Pure-Python fallback: device MTF ranks -> vectorized RLE2 ->
         # oracle entropy coder.
-        syms = np.zeros((len(idxs), bucket), dtype=np.int32)
+        syms = np.zeros(bwt_out.shape, dtype=np.int32)
         for row, i in enumerate(idxs):
             cmap = make_cmap(blocks[i].cmap)
             syms[row, :ns[row]] = cmap[bwt_out[row, :ns[row]]]

@@ -7,6 +7,8 @@ BWT formulation, plus the current kernels, and writes JSON to
 """
 
 import json
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import sys
 import time
 
