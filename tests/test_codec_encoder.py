@@ -30,3 +30,12 @@ def test_device_pipeline_multiblock():
     data = rng.integers(0, 16, 350000, dtype=np.uint8).tobytes()
     out = dev_compress(data, 1)
     assert out == ref_compress(data, 1)
+
+
+def test_python_fallback_branch(monkeypatch):
+    """Exercise the no-native (device MTF + oracle entropy) path."""
+    from lbzip2_tpu import native as native_mod
+    monkeypatch.setattr(native_mod, "native_available", lambda: False)
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 5, 20000, dtype=np.uint8).tobytes()
+    assert dev_compress(data, 9) == ref_compress(data, 9)
