@@ -24,8 +24,9 @@ from lbzip2_tpu.ref.mtf import make_cmap
 from lbzip2_tpu.codec.rle2 import rle2_from_ranks
 
 # Static shape buckets (multiples of the MTF chunk 512).  The largest
-# covers MAX_BLOCK_SIZE with ~0.1% padding.
-_BUCKETS = (8192, 65536, 262144, 901632)
+# covers MAX_BLOCK_SIZE with ~0.1% padding (multiple of 2048 for the
+# Pallas MTF tile).
+_BUCKETS = (8192, 65536, 262144, 901120)
 
 # Fixed device-batch row count: every bwt_batched call has shape
 # (_BATCH, bucket) so each bucket compiles exactly once; short batches

@@ -52,10 +52,21 @@ def bwt_masked(block: jnp.ndarray, n: jnp.ndarray,
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
 
-    # Seed ranks with 2-byte keys (cyclic): skips one doubling level.
-    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
-    b = block.astype(jnp.int32)
-    key0 = jnp.where(valid, b * 256 + b[nxt], _INF)
+    # Seed ranks with 4-byte cyclic keys: skips two doubling levels.
+    # Packed key is uint32-ordered; bias to signed int32 for the fast
+    # single-key sort path.
+    def cyc(d):
+        j = idx + d
+        j = jnp.where(j >= n, j - n, j)
+        return block[j].astype(jnp.uint32)
+
+    ku = (block.astype(jnp.uint32) * jnp.uint32(1 << 24)
+          + cyc(1) * jnp.uint32(1 << 16) + cyc(2) * jnp.uint32(1 << 8)
+          + cyc(3))
+    # flip the top bit so uint32 order survives the int32 reinterpret
+    key0 = jax.lax.bitcast_convert_type(ku ^ jnp.uint32(1 << 31),
+                                        jnp.int32)
+    key0 = jnp.where(valid, key0, jnp.int32(2 ** 31 - 1))
     sk, si = jax.lax.sort((key0, idx), num_keys=1)
     neq = jnp.concatenate([
         jnp.zeros(1, jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)])
@@ -72,7 +83,7 @@ def bwt_masked(block: jnp.ndarray, n: jnp.ndarray,
         return rank, k * 2, maxr == n - 1
 
     rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(2), jnp.max(
+        cond, body, (rank, jnp.int32(4), jnp.max(
             jnp.where(valid, rank, -1)) == n - 1))
 
     # Tie-break any residual equal ranks (fully periodic blocks) by

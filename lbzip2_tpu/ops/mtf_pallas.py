@@ -26,22 +26,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256
+SUBROWS = 8  # sub-chunks per grid step; tile (SUBROWS, CHUNK) is
+             # sublane-aligned (8) x lane-aligned (256)
 
 
-def _kernel(x_ref, out_ref, last_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        last_ref[:] = jnp.full((1, 256), -1, jnp.int32)
-
-    x = x_ref[0, :]  # (CHUNK,) int32 symbols
-    base = i * CHUNK
+def _sub_chunk(x, base, last):
+    """Process one (CHUNK,) sub-chunk given carried last[]; returns
+    (ranks (CHUNK,), new last (256,))."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 256), 0)
     alpha = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 256), 1)
     onehot = x[:, None] == alpha
-    gpos = base + rows
-    pos = jnp.where(onehot, gpos, -1)
+    pos = jnp.where(onehot, base + rows, -1)
 
     # inclusive column cummax by shift-and-max doubling
     incl = pos
@@ -53,7 +48,7 @@ def _kernel(x_ref, out_ref, last_ref):
         s *= 2
 
     excl = jnp.where(rows >= 1, pltpu.roll(incl, 1, 0), -1)
-    comb = jnp.maximum(excl, last_ref[0, :][None, :])
+    comb = jnp.maximum(excl, last[None, :])
 
     prev = jnp.max(jnp.where(onehot, comb, -2), axis=1)
     seen = comb >= 0
@@ -61,24 +56,39 @@ def _kernel(x_ref, out_ref, last_ref):
     rank_first = (jnp.sum(seen.astype(jnp.int32), axis=1)
                   + jnp.sum(((alpha < x[:, None]) & ~seen)
                             .astype(jnp.int32), axis=1))
-    out_ref[0, :] = jnp.where(prev >= 0, rank_seen, rank_first)
+    ranks = jnp.where(prev >= 0, rank_seen, rank_first)
+    return ranks, jnp.maximum(last, incl[-1, :])
 
-    last_ref[:] = jnp.maximum(last_ref[:], incl[-1:, :])
+
+def _kernel(x_ref, out_ref, last_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        last_ref[:] = jnp.full((1, 256), -1, jnp.int32)
+
+    last = last_ref[0, :]
+    for r in range(SUBROWS):
+        base = (i * SUBROWS + r) * CHUNK
+        ranks, last = _sub_chunk(x_ref[r, :], base, last)
+        out_ref[r, :] = ranks
+    last_ref[0, :] = last
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mtf_ranks_pallas(syms: jnp.ndarray, n: jnp.ndarray,
                      interpret: bool = False) -> jnp.ndarray:
-    """MTF ranks of syms[:n]; N static, multiple of CHUNK."""
+    """MTF ranks of syms[:n]; N static, multiple of SUBROWS*CHUNK."""
     N = syms.shape[0]
-    assert N % CHUNK == 0
+    step = SUBROWS * CHUNK
+    assert N % step == 0
     x = syms.astype(jnp.int32).reshape(N // CHUNK, CHUNK)
     ranks = pl.pallas_call(
         _kernel,
-        grid=(N // CHUNK,),
-        in_specs=[pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+        grid=(N // step,),
+        in_specs=[pl.BlockSpec((SUBROWS, CHUNK), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((SUBROWS, CHUNK), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N // CHUNK, CHUNK), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, 256), jnp.int32)],
