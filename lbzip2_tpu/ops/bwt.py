@@ -104,3 +104,91 @@ def bwt_masked(block: jnp.ndarray, n: jnp.ndarray,
 
 
 bwt_batched = jax.jit(jax.vmap(lambda blk, n: bwt_masked(blk, n)))
+
+
+# ---------------------------------------------------------------------------
+# Uniform-length batch kernel: all blocks share one length n (the common
+# case: every non-final block is exactly max_block_size).  The doubling
+# pass accesses rank[(i+k) mod n], which for a shared scalar n is a
+# cyclic shift — implemented with dynamic_update_slice + dynamic_slice
+# (pure copies) instead of a random gather, the dominant cost of the
+# general kernel on TPU.
+# ---------------------------------------------------------------------------
+
+
+def _shift_cyclic(rank: jnp.ndarray, k: jnp.ndarray, n: jnp.ndarray):
+    """rank[:, (i+k) mod n] for i < n, batched, gather-free."""
+    B, N = rank.shape
+    buf = jnp.zeros((B, 2 * N), rank.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, rank, (0, 0))
+    buf = jax.lax.dynamic_update_slice(buf, rank, (jnp.int32(0), n))
+    return jax.lax.dynamic_slice(buf, (jnp.int32(0), k), (B, N))
+
+
+@jax.jit
+def bwt_batched_uniform(blocks: jnp.ndarray, n: jnp.ndarray):
+    """BWT of a (B, N) batch where every block has the same length n."""
+    B, N = blocks.shape
+    n = jnp.asarray(n, jnp.int32)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = (idx < n)[None, :]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    b0 = blocks.astype(jnp.uint32)
+    ku = (b0 * jnp.uint32(1 << 24)
+          + _shift_cyclic(b0, jnp.int32(1), n) * jnp.uint32(1 << 16)
+          + _shift_cyclic(b0, jnp.int32(2), n) * jnp.uint32(1 << 8)
+          + _shift_cyclic(b0, jnp.int32(3), n))
+    key0 = jax.lax.bitcast_convert_type(ku ^ jnp.uint32(1 << 31),
+                                        jnp.int32)
+    key0 = jnp.where(valid, key0, jnp.int32(2 ** 31 - 1))
+
+    idxB = jnp.broadcast_to(idx[None, :], (B, N))
+
+    def dense_rank(k1, k2):
+        sk1, sk2, si = jax.lax.sort((k1, k2, idxB), num_keys=2,
+                                    dimension=1)
+        neq = jnp.concatenate([
+            jnp.zeros((B, 1), jnp.int32),
+            ((sk1[:, 1:] != sk1[:, :-1]) |
+             (sk2[:, 1:] != sk2[:, :-1])).astype(jnp.int32)], axis=1)
+        dense = jnp.cumsum(neq, axis=1)
+        rank = jnp.zeros((B, N), jnp.int32).at[rows, si].set(dense)
+        return rank
+
+    rank = dense_rank(key0, jnp.zeros((B, N), jnp.int32))
+
+    def cond(carry):
+        rank, k, done = carry
+        return jnp.logical_and(k < n, jnp.logical_not(done))
+
+    def body(carry):
+        rank, k, _ = carry
+        k2 = jnp.where(valid, _shift_cyclic(rank, k, n), _INF)
+        k1 = jnp.where(valid, rank, _INF)
+        rank = dense_rank(k1, k2)
+        maxr = jnp.max(jnp.where(valid, rank, -1))
+        # uniform n: all blocks resolve when every max rank == n-1
+        done = jnp.min(jnp.max(jnp.where(valid, rank, -1),
+                               axis=1)) == n - 1
+        del maxr
+        return rank, k * 2, done
+
+    done0 = jnp.min(jnp.max(jnp.where(valid, rank, -1), axis=1)) == n - 1
+    rank, _, _ = jax.lax.while_loop(cond, body,
+                                    (rank, jnp.int32(4), done0))
+
+    # final tie-break by descending index
+    k1 = jnp.where(valid, rank, _INF)
+    _, _, si = jax.lax.sort((k1, N - 1 - idxB, idxB), num_keys=2,
+                            dimension=1)
+    final_rank = jnp.zeros((B, N), jnp.int32).at[rows, si].set(idxB)
+
+    prev = jnp.where(idx == 0, n - 1, idx - 1)[None, :]
+    prev_chars = jnp.take_along_axis(blocks, prev, axis=1)
+    out = jnp.zeros((B, N), jnp.uint8).at[
+        rows, jnp.where(valid, final_rank, N - 1)].set(
+        jnp.where(valid, prev_chars, 0).astype(jnp.uint8), mode="drop")
+    out = jnp.where(valid, out, 0).astype(jnp.uint8)
+    primary_idx = final_rank[:, 0]
+    return out, primary_idx

@@ -57,7 +57,9 @@ def _sub_chunk(x, base, last):
                   + jnp.sum(((alpha < x[:, None]) & ~seen)
                             .astype(jnp.int32), axis=1))
     ranks = jnp.where(prev >= 0, rank_seen, rank_first)
-    return ranks, jnp.maximum(last, incl[-1, :])
+    # static (not negative/dynamic) slice of the final row for Mosaic
+    tail = jax.lax.slice_in_dim(incl, CHUNK - 1, CHUNK, axis=0)[0, :]
+    return ranks, jnp.maximum(last, tail)
 
 
 def _kernel(x_ref, out_ref, last_ref):

@@ -100,3 +100,33 @@ def test_device_mtf_matches_ref_pipeline():
     out.extend(ref_mtf.zero_run_digits(k))
     out.append(ninuse + 1)
     np.testing.assert_array_equal(np.asarray(out), exp_mtfv)
+
+
+def test_uniform_batch_bwt_matches_oracle():
+    from lbzip2_tpu.ops.bwt import bwt_batched_uniform
+    rng = np.random.default_rng(21)
+    N = 4096
+    for n in [1, 2, 100, 3000, 4096]:
+        B = 3
+        blocks = np.zeros((B, N), np.uint8)
+        for b in range(B):
+            blocks[b, :n] = rng.integers(0, 256 if n > 2 else 2, n,
+                                         dtype=np.uint8)
+        out, idx = bwt_batched_uniform(blocks, n)
+        for b in range(B):
+            exp, eidx = ref_bwt.bwt(blocks[b, :n])
+            np.testing.assert_array_equal(np.asarray(out[b])[:n], exp)
+            assert int(idx[b]) == eidx, (n, b)
+
+
+def test_uniform_batch_bwt_periodic():
+    from lbzip2_tpu.ops.bwt import bwt_batched_uniform
+    N = 1024
+    blocks = np.zeros((2, N), np.uint8)
+    blocks[0, :1000] = np.frombuffer(b"ab" * 500, np.uint8)
+    blocks[1, :1000] = np.frombuffer(b"xyz" * 333 + b"x", np.uint8)
+    out, idx = bwt_batched_uniform(blocks, 1000)
+    for b in range(2):
+        exp, eidx = ref_bwt.bwt(blocks[b, :1000])
+        np.testing.assert_array_equal(np.asarray(out[b])[:1000], exp)
+        assert int(idx[b]) == eidx
