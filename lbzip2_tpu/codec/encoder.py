@@ -48,7 +48,7 @@ def compress(data: bytes | np.ndarray, level: int = 9,
 
     Bit-identical to ref.encoder.compress (and the reference binary).
     """
-    from lbzip2_tpu.ops.bwt import bwt_batched
+    from lbzip2_tpu.ops.bwt import bwt_batched, bwt_batched_uniform
     from lbzip2_tpu.ops.mtf import mtf_ranks_batched
 
     assert 1 <= level <= 9
@@ -75,12 +75,23 @@ def compress(data: bytes | np.ndarray, level: int = 9,
         for c0 in range(0, len(idxs), _BATCH):
             chunk = idxs[c0:c0 + _BATCH]
             batch = np.zeros((_BATCH, bucket), dtype=np.uint8)
-            ns = np.ones(_BATCH, dtype=np.int32)  # dummy rows: 1 byte
+            ns = np.empty(_BATCH, dtype=np.int32)
             for row, i in enumerate(chunk):
                 blk = blocks[i].data
                 batch[row, :blk.size] = blk
                 ns[row] = blk.size
-            out, idx = bwt_batched(batch, ns)
+            for row in range(len(chunk), _BATCH):
+                # Pad with a copy of row 0: same length (keeps the
+                # uniform fast path) and as resolvable as real data
+                # (an artificial filler could be periodic and stall
+                # the convergence check).
+                batch[row] = batch[0]
+                ns[row] = ns[0]
+            if len(set(ns.tolist())) == 1:
+                # Full-size blocks: gather-free uniform kernel.
+                out, idx = bwt_batched_uniform(batch, int(ns[0]))
+            else:
+                out, idx = bwt_batched(batch, ns)
             dispatched.append((chunk, ns, out, idx))
 
     # Phase 2: drain in order through the host entropy stage.
