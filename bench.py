@@ -17,6 +17,9 @@ import os
 import sys
 import time
 
+# Persistent compile cache: axon remote compiles take minutes cold.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import numpy as np
 
 PER_CHIP_TARGET_MBPS = 62.5
@@ -46,15 +49,17 @@ def build_corpus(size: int) -> bytes:
     return b"".join(out)[:size]
 
 
-def _device_alive(timeout_s: int = 120) -> bool:
+def _device_alive(timeout_s: int = 300) -> bool:
     """Probe the TPU in a subprocess so a hung tunnel can't wedge bench."""
     import subprocess
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp;"
              "print(float(jnp.sum(jnp.arange(128))))"],
-            capture_output=True, timeout=timeout_s)
+            capture_output=True, timeout=timeout_s, env=env)
         return r.returncode == 0 and b"8128" in r.stdout
     except subprocess.TimeoutExpired:
         return False
