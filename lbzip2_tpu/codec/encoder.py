@@ -1,17 +1,26 @@
-"""Production compressor: host RLE1 -> device (BWT + MTF) -> host entropy.
+"""Production compressor: host RLE1 -> device BWT -> host entropy.
 
 Stage map vs the reference pipeline (src/compress.c tasks):
-  collect   -> rle1.rle1_blocks (host, vectorized; C++ kernel planned)
-  encode    -> ops.bwt (device rotation sort) + ops.mtf (device ranks)
-               + rle2/EM/Huffman (host, numpy)    [divbwt.c, encode.c]
-  transmit  -> ref.encoder.encode_block_payload bit packer
+  collect   -> rle1 block split (native C collector when available)
+  encode    -> ops.bwt sparse prefix-doubling kernel (device)
+               + MTF/RLE2/EM/Huffman (native C, ~100 MB/s/core)
+  transmit  -> native bit packer (ref.encoder fallback)
   reorder   -> in-order assembly + combined CRC fold
 
-Blocks are padded into static size buckets so each bucket shape compiles
-once; same-bucket blocks are batched and vmapped onto the device.
+Scheduling: full-size blocks are grouped into fixed-shape (B, N)
+batches, each driven by a resumable SparseBwtTask.  The tasks are
+stepped round-robin — whichever task's unresolved-count fetch has
+landed gets its next device program dispatched — so the ~30 ms
+round-trips of one batch hide behind the kernels of the others
+(the lbzip2 work-pool overlap, src/process.c:436-462, reborn as
+device-queue pipelining).  Finished BWTs stream through a host
+thread pool running the C entropy stage concurrently.
 """
 
 from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -21,16 +30,15 @@ from lbzip2_tpu.core.constants import CLUSTER_FACTOR
 from lbzip2_tpu.ref import rle1
 from lbzip2_tpu.ref.encoder import encode_block_payload
 from lbzip2_tpu.ref.mtf import make_cmap
-from lbzip2_tpu.codec.rle2 import rle2_from_ranks
 
 # Static shape buckets (multiples of the MTF chunk 512).  The largest
 # covers MAX_BLOCK_SIZE with ~0.1% padding (multiple of 2048 for the
 # Pallas MTF tile).
 _BUCKETS = (8192, 65536, 262144, 901120)
 
-# Fixed device-batch row count: every bwt_batched call has shape
+# Fixed device-batch row count: every device call has shape
 # (_BATCH, bucket) so each bucket compiles exactly once; short batches
-# are padded with 1-byte dummy blocks.
+# are padded with copies of row 0.
 _BATCH = 4
 
 
@@ -41,15 +49,35 @@ def _bucket_for(n: int) -> int:
     raise ValueError(f"block too large: {n}")
 
 
+def _entropy_payload(buf, span, bwt_row, bwt_idx, cluster_factor):
+    """Host entropy stage for one block (C kernels when available)."""
+    n = span.data.size
+    if native.native_available():
+        crc_stored = (native.crc32_block(buf[span.start:span.end])
+                      ^ 0xFFFFFFFF) & 0xFFFFFFFF
+        payload = native.encode_payload(
+            bwt_row[:n], np.asarray(span.cmap, np.uint8), int(bwt_idx),
+            crc_stored, cluster_factor)
+        return payload, crc_stored
+    # Pure-Python fallback (slow; used when no C toolchain).
+    from lbzip2_tpu.ref.mtf import mtf_rle2
+    mtfv = mtf_rle2(bwt_row[:n], make_cmap(span.cmap),
+                    int(span.cmap.sum()))
+    crc_stored = crc32.crc_of(buf[span.start:span.end])
+    payload = encode_block_payload(mtfv, span.cmap, int(bwt_idx),
+                                   crc_stored, cluster_factor)
+    return payload, crc_stored
+
+
 def compress(data: bytes | np.ndarray, level: int = 9,
              cluster_factor: int = CLUSTER_FACTOR,
-             sequential_split: bool = False) -> bytes:
-    """Compress into a .bz2 stream using the device BWT/MTF kernels.
+             sequential_split: bool = False,
+             entropy_workers: int = 2) -> bytes:
+    """Compress into a .bz2 stream using the device BWT kernels.
 
     Bit-identical to ref.encoder.compress (and the reference binary).
     """
-    from lbzip2_tpu.ops.bwt import bwt_batched, bwt_batched_uniform
-    from lbzip2_tpu.ops.mtf import mtf_ranks_batched
+    from lbzip2_tpu.ops.bwt import SparseBwtTask
 
     assert 1 <= level <= 9
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
@@ -58,19 +86,14 @@ def compress(data: bytes | np.ndarray, level: int = 9,
     mbs = level * 100000
 
     blocks = rle1.rle1_blocks(buf, mbs, None if sequential_split else -1)
-    parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
-    combined = 0
 
-    # Group block indices by bucket for batched device dispatch.
-    payloads: dict[int, bytes] = {}
-    crcs: dict[int, int] = {}
+    # Group block indices by bucket (the sparse kernel handles mixed
+    # row lengths natively).
     by_bucket: dict[int, list[int]] = {}
     for i, span in enumerate(blocks):
         by_bucket.setdefault(_bucket_for(span.data.size), []).append(i)
 
-    # Phase 1: dispatch fixed-shape device batches (async; XLA queues
-    # them so device compute overlaps the host entropy stage below).
-    dispatched = []  # (idxs_chunk, ns, device bwt_out, device bwt_idx)
+    sparse: list[tuple[list[int], SparseBwtTask]] = []
     for bucket, idxs in by_bucket.items():
         for c0 in range(0, len(idxs), _BATCH):
             chunk = idxs[c0:c0 + _BATCH]
@@ -81,58 +104,47 @@ def compress(data: bytes | np.ndarray, level: int = 9,
                 batch[row, :blk.size] = blk
                 ns[row] = blk.size
             for row in range(len(chunk), _BATCH):
-                # Pad with a copy of row 0: same length (keeps the
-                # uniform fast path) and as resolvable as real data
-                # (an artificial filler could be periodic and stall
-                # the convergence check).
+                # pad rows replay row 0 (cheap: resolves identically)
                 batch[row] = batch[0]
                 ns[row] = ns[0]
-            if len(set(ns.tolist())) == 1:
-                # Full-size blocks: gather-free uniform kernel.
-                out, idx = bwt_batched_uniform(batch, int(ns[0]))
-            else:
-                out, idx = bwt_batched(batch, ns)
-            dispatched.append((chunk, ns, out, idx))
+            sparse.append((chunk, SparseBwtTask(batch, ns)))
 
-    # Phase 2: drain in order through the host entropy stage.
-    for chunk, ns, out, idx in dispatched:
-        idxs = chunk
-        bwt_out = np.asarray(out)
-        bwt_idx = np.asarray(idx)
+    payloads: dict[int, bytes] = {}
+    crcs: dict[int, int] = {}
+    futures: dict[int, object] = {}
 
-        if native.native_available():
-            # Device BWT -> C entropy stage (C does MTF+RLE2+EM+pack).
-            for row, i in enumerate(idxs):
-                span = blocks[i]
-                crc_stored = (native.crc32_block(buf[span.start:span.end])
-                              ^ 0xFFFFFFFF) & 0xFFFFFFFF
-                crcs[i] = crc_stored
-                payloads[i] = native.encode_payload(
-                    bwt_out[row, :ns[row]], np.asarray(span.cmap, np.uint8),
-                    int(bwt_idx[row]), crc_stored, cluster_factor)
-            continue
+    with ThreadPoolExecutor(max_workers=entropy_workers) as pool:
+        def submit(chunk, bwt_rows, idx_arr):
+            for row, i in enumerate(chunk):
+                futures[i] = pool.submit(
+                    _entropy_payload, buf, blocks[i], bwt_rows[row],
+                    idx_arr[row], cluster_factor)
 
-        # Pure-Python fallback: device MTF ranks -> vectorized RLE2 ->
-        # oracle entropy coder.
-        syms = np.zeros(bwt_out.shape, dtype=np.int32)
-        for row, i in enumerate(idxs):
-            cmap = make_cmap(blocks[i].cmap)
-            syms[row, :ns[row]] = cmap[bwt_out[row, :ns[row]]]
-        ranks = np.asarray(mtf_ranks_batched(syms, ns))
+        # Round-robin: step whichever sparse task has its count ready;
+        # device keeps executing the others' queued programs meanwhile.
+        pending = list(sparse)
+        while pending:
+            progressed = False
+            for item in list(pending):
+                chunk, task = item
+                if not task.ready():
+                    continue
+                progressed = True
+                if task.step():
+                    packed, primary = task.result()
+                    rows = packed.view(np.uint8).reshape(
+                        packed.shape[0], -1)
+                    submit(chunk, rows, primary)
+                    pending.remove(item)
+            if pending and not progressed:
+                time.sleep(0.002)
 
-        for row, i in enumerate(idxs):
-            span = blocks[i]
-            ninuse = int(span.cmap.sum())
-            mtfv = rle2_from_ranks(ranks[row, :ns[row]], ninuse)
-            crc_stored = crc32.crc_of(buf[span.start:span.end])
-            crcs[i] = crc_stored
-            payloads[i] = encode_block_payload(
-                mtfv, span.cmap, int(bwt_idx[row]), crc_stored,
-                cluster_factor)
-
-    for i in range(len(blocks)):
-        parts.append(payloads[i])
-        combined = crc32.combine_crc(combined, crcs[i])
+        parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
+        combined = 0
+        for i in range(len(blocks)):
+            payload, crc_stored = futures[i].result()
+            parts.append(payload)
+            combined = crc32.combine_crc(combined, crc_stored)
 
     trailer = bytes([0x17, 0x72, 0x45, 0x38, 0x50, 0x90]) + \
         combined.to_bytes(4, "big")
