@@ -1,11 +1,14 @@
 /* entropy.c — native block entropy encoder (MTF+RLE2 -> bitstream).
  *
- * Clean-room port of the validated Python model (lbzip2_tpu/ref/
- * huffman.py + encoder.py), which is itself bit-exact with the
- * reference encoder (src/encode.c:340-1281).  Stages:
+ * Implements the bzip2 block payload encoder validated against the
+ * repo's Python oracle and the reference binary (behavioral spec:
+ * reference src/encode.c:340-1281; all code here is an independent
+ * structure over that spec).  Stages:
  *   - mtf_rle2: MTF + zero-run bijective-base-2 coding of BWT bytes
- *   - EM clustering (cluster_factor iters) with 10-bit packed costs
- *   - in-place Huffman lengths (two-queue merge, 64-bit weights)
+ *   - greedy initial symbol partition into equivalence classes
+ *   - EM clustering (cluster_factor iters): per-group tree selection
+ *     by true per-tree bit cost folded through the spec's 10-bit-lane
+ *     carry semantics, then per-tree Huffman refit (huffman2.c)
  *   - package-merge length limiting + tree-height cost search
  *   - selector MTF, byte-alignment padding (tree_pad/dummy selector)
  *   - big-endian bit packing
@@ -14,8 +17,9 @@
  */
 
 #define MAX_ALPHA 258
-#define MAX_HUFF_LEN 30
 #define EM_MAX_GROUPS ((MAX_BLOCK_SIZE + GROUP_SIZE - 1) / GROUP_SIZE + 1)
+
+#include "huffman2.c"
 
 /* ---------------- MTF + RLE2 ---------------- */
 
@@ -58,168 +62,45 @@ static long mtf_rle2_c(const uint8_t *bwt, long n, const uint8_t *cmap_used,
   return nm;
 }
 
-/* ---------------- in-place Huffman lengths ---------------- */
-
-static void sort_desc_u64(uint64_t *a, int n) {
-  for (int i = 1; i < n; i++) {
-    uint64_t t = a[i];
-    int j = i - 1;
-    while (j >= 0 && a[j] < t) { a[j + 1] = a[j]; j--; }
-    a[j + 1] = t;
+/* ---------------- initial equivalence classes ----------------
+ *
+ * Partition the MTF alphabet into nt contiguous classes of roughly
+ * equal total frequency.  Expressed over precomputed prefix sums:
+ * class t spans [a, b) where b is the smallest bound such that either
+ * the remaining classes could not each get a nonzero symbol, or the
+ * class holds at least 1/m of the remaining mass (m = classes left);
+ * a class that overshot the average by more than half its last
+ * symbol's frequency gives that symbol back.  Spec semantics:
+ * reference src/encode.c:779-841. */
+static void initial_classes(uint8_t lengths[MAX_TREES][MAX_ALPHA + 1],
+                            const uint32_t *mtf_freq, int as, long nm,
+                            int nt) {
+  static __thread uint64_t P[MAX_ALPHA + 2];  /* freq prefix sums */
+  static __thread int NZ[MAX_ALPHA + 2];      /* nonzero-count prefix */
+  P[0] = 0;
+  NZ[0] = 0;
+  for (int v = 0; v < as; v++) {
+    P[v + 1] = P[v] + mtf_freq[v];
+    NZ[v + 1] = NZ[v] + (mtf_freq[v] != 0);
   }
-}
+  int nz_total = NZ[as];
+  int nte = nt < nz_total ? nt : nz_total;
 
-static void make_code_lengths_c(uint8_t *len_out /*MAX_ALPHA+1*/,
-                                const uint32_t *freq, int as) {
-  uint64_t weight[MAX_ALPHA];
-  uint32_t V[MAX_ALPHA];
-  int count[MAX_HUFF_LEN + 2];
-  for (int i = 0; i < as; i++) {
-    uint32_t f = freq[i] ? freq[i] : 1;
-    weight[i] = (((uint64_t)f << 32) | 0x10000u | (uint32_t)(MAX_ALPHA - i));
+  int a = 0;
+  for (int m = nte; m >= 1; m--) {
+    int t = nte - m;
+    uint64_t rem = nm - P[a];   /* mass left for classes t..nte-1 */
+    int b = a + 1;
+    while (NZ[as] - NZ[b] > m - 1 &&
+           (P[b] - P[a]) * (uint64_t)m < rem)
+      b++;
+    uint64_t c2 = P[b] - P[a];
+    uint64_t f_last = mtf_freq[b - 1];
+    if (c2 > f_last && (2 * c2 - f_last) * (uint64_t)m > 2 * rem)
+      b--;
+    for (int v = a; v < b; v++) lengths[t][v] = 0;
+    a = b;
   }
-  sort_desc_u64(weight, as);
-
-  int r = as, s = as;
-  for (int t = as - 1; t > 0; t--) {
-    uint64_t w1, w2;
-    if (s < 1 || (r > t + 2 && weight[r - 2] < weight[s - 1])) {
-      V[r - 1] = (uint32_t)t; V[r - 2] = (uint32_t)t;
-      w1 = weight[r - 1]; w2 = weight[r - 2]; r -= 2;
-    } else if (r < t + 2 || (s > 1 && weight[s - 2] <= weight[r - 1])) {
-      w1 = weight[s - 1]; w2 = weight[s - 2]; s -= 2;
-    } else {
-      V[r - 1] = (uint32_t)t;
-      w1 = weight[r - 1]; w2 = weight[s - 1]; s--; r--;
-    }
-    uint64_t sum = w1 + w2;
-    uint64_t d1 = w1 & 0xFF000000u, d2 = w2 & 0xFF000000u;
-    weight[t] = (weight[t] & 0xFFFFu)
-        + (sum & ~(uint64_t)0xFF00FFFFu)
-        + (d1 > d2 ? d1 : d2) + 0x01000000u;
-  }
-
-  memset(count, 0, sizeof(count));
-  V[1] = 0;
-  int node = 2, depth = 1, avail = 2;
-  while (depth <= MAX_HUFF_LEN) {
-    int used = 0;
-    while (node < as && (int)V[V[node]] + 1 == depth) {
-      used++;
-      V[node++] = (uint32_t)depth;
-    }
-    count[depth] = avail - used;
-    depth++;
-    avail = used << 1;
-  }
-  int i = 0;
-  for (int d = 0; d <= MAX_HUFF_LEN; d++) {
-    int k = count[d];
-    while (k--) {
-      int sym = MAX_ALPHA - (int)(weight[i] & 0xFFFFu);
-      len_out[sym] = (uint8_t)d;
-      i++;
-    }
-  }
-}
-
-/* ---------------- package-merge + assign codes ---------------- */
-
-#define WADD(w1, w2) ((((w1) + (w2)) & ~(uint64_t)0xFFFFFFFFu) + \
-  (((w1) & 0xFF000000u) > ((w2) & 0xFF000000u) ? ((w1) & 0xFF000000u) \
-   : ((w2) & 0xFF000000u)) + 0x01000000u)
-
-static uint32_t assign_codes_c(uint32_t *code, uint8_t *length,
-                               const uint32_t *freq, int as) {
-  uint64_t lw[MAX_ALPHA + 1];
-  for (int leaf = 0; leaf < as; leaf++)
-    lw[leaf + 1] = (((uint64_t)freq[leaf] << 32) | 0x10000u |
-                    (uint32_t)(MAX_ALPHA - leaf));
-  sort_desc_u64(lw + 1, as);
-  lw[0] = ~(uint64_t)0;
-
-  static const int L = MAX_CODE_LENGTH;
-  uint16_t tree[MAX_CODE_LENGTH + 1][MAX_CODE_LENGTH + 1];
-  memset(tree, 0, sizeof(tree));
-  {
-    uint64_t pkg_w[MAX_CODE_LENGTH + 1], prev_w[MAX_CODE_LENGTH + 1],
-        curr_w[MAX_CODE_LENGTH + 1];
-    pkg_w[0] = ~(uint64_t)0;
-    for (int d = 1; d <= L; d++) {
-      tree[d][0] = 2;
-      pkg_w[d] = WADD(lw[as], lw[as - 1]);
-      prev_w[d] = lw[as - 1];
-      curr_w[d] = lw[as - 2];
-    }
-    int stack[MAX_CODE_LENGTH + 2];
-    for (int width = 2; width < as; width++) {
-      int depth = L;
-      stack[0] = L;
-      int next_depth = 1;
-      for (;;) {
-        if (pkg_w[depth - 1] <= curr_w[depth]) {
-          if (depth != 1) {
-            memmove(&tree[depth][1], &tree[depth - 1][0],
-                    L * sizeof(uint16_t));
-            pkg_w[depth] = WADD(prev_w[depth], pkg_w[depth - 1]);
-            prev_w[depth] = pkg_w[depth - 1];
-            depth--;
-            stack[next_depth++] = depth;
-            continue;
-          }
-        } else {
-          tree[depth][0]++;
-          pkg_w[depth] = WADD(prev_w[depth], curr_w[depth]);
-          prev_w[depth] = curr_w[depth];
-          curr_w[depth] = lw[as - tree[depth][0]];
-        }
-        if (next_depth == 0) break;
-        next_depth--;
-        depth = stack[next_depth];
-      }
-    }
-  }
-
-  uint64_t best_cost = ~(uint64_t)0;
-  int best_height = L;
-  for (int height = 2; height <= L; height++) {
-    if ((1 << height) < as) continue;
-    if (tree[height][height - 1] == 0) break;
-    uint64_t cost = 0;
-    int leaf = 0;
-    for (int depth = 1; depth <= height; depth++) {
-      for (int avail = tree[height][depth - 1] - tree[height][depth];
-           avail > 0; avail--) {
-        int sym = MAX_ALPHA - (int)(lw[leaf + 1] & 0xFFFFu);
-        length[sym] = (uint8_t)depth;
-        cost += (uint64_t)(uint32_t)(lw[leaf + 1] >> 32) * depth;
-        leaf++;
-      }
-    }
-    for (int sym = 1; sym < as; sym++) {
-      int d = (int)length[sym - 1] - (int)length[sym];
-      cost += 2 * (uint64_t)(d < 0 ? -d : d);
-    }
-    cost += 5 + (uint64_t)as;
-    if (cost < best_cost) { best_cost = cost; best_height = height; }
-  }
-
-  uint32_t base_code[MAX_CODE_LENGTH + 1];
-  int leaf = 0;
-  uint32_t next_code = 0;
-  for (int depth = 1; depth <= best_height; depth++) {
-    int avail = tree[best_height][depth - 1] - tree[best_height][depth];
-    base_code[depth] = next_code;
-    next_code = (next_code + (uint32_t)avail) << 1;
-    while (avail-- > 0) {
-      int sym = MAX_ALPHA - (int)(lw[leaf + 1] & 0xFFFFu);
-      length[sym] = (uint8_t)depth;
-      leaf++;
-    }
-  }
-  for (int sym = 0; sym < as; sym++)
-    code[sym] = base_code[length[sym]]++;
-  return (uint32_t)best_cost;
 }
 
 /* ---------------- EM + full payload encode ---------------- */
@@ -245,8 +126,7 @@ static inline void bw_put(bw_t *w, uint32_t v, int k) {
   }
 }
 
-/* Full payload encode.  bwt: RLE1 block bytes (already BWT'd? no —
- * see lbz2_encode_payload_from_mtfv; this wrapper takes BWT output).
+/* Full payload encode.  bwt_bytes: BWT output bytes for one block.
  * Returns payload byte length. */
 long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
                          const uint8_t *cmap_used, long bwt_idx,
@@ -281,69 +161,42 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
   static __thread uint8_t selectors[EM_MAX_GROUPS + 1];
   memset(lengths, 1, sizeof(lengths));
 
-  /* initial equivalence classes (src/encode.c:779-841 semantics) */
-  {
-    long as_eff = 0, a = 0, cum = 0;
-    while (cum < nm) {
-      long f = mtf_freq[a];
-      cum += f;
-      as_eff += f ? 1 : 0;
-      a++;
-    }
-    int nte = nt < as_eff ? nt : (int)as_eff;
-    a = 0;
-    long nm_rem = nm;
-    for (int t = 0; nte > 0; t++, nte--) {
-      long freq = mtf_freq[a];
-      long c2 = freq;
-      as_eff -= freq ? 1 : 0;
-      long b = a + 1;
-      while (as_eff > nte - 1 && c2 * nte < nm_rem) {
-        freq = mtf_freq[b];
-        c2 += freq;
-        as_eff -= freq ? 1 : 0;
-        b++;
-      }
-      if (c2 > freq && (2 * c2 - freq) * nte > 2 * nm_rem) {
-        c2 -= freq;
-        as_eff += freq ? 1 : 0;
-        b--;
-      }
-      for (long v = a; v < b; v++) lengths[t][v] = 0;
-      a = b;
-      nm_rem -= c2;
-    }
-  }
+  initial_classes(lengths, mtf_freq, as, nm, nt);
 
-  /* EM iterations */
+  /* EM iterations.  E-step: per-group true bit costs per tree from a
+   * symbol-major (transposed) length table — one contiguous 8-lane
+   * uint16 add per symbol — then folded through the spec's packed
+   * 10-bit-lane carry chain before comparison (cost lanes wrap mod
+   * 1024 and overflow carries into the next tree's lane). */
   for (int iter = 0; iter < cluster_factor; iter++) {
-    uint64_t len_pack[MAX_ALPHA + 1];
-    for (int v = 0; v < as; v++) {
-      uint64_t p = 0;
-      for (int t = 0; t < MAX_TREES; t++)
-        p += (uint64_t)lengths[t][v] << (10 * t);
-      len_pack[v] = p;
-    }
-    len_pack[as] = 0;
+    static __thread uint16_t lenT[MAX_ALPHA + 1][8];
+    for (int v = 0; v <= as; v++)
+      for (int t = 0; t < 8; t++)
+        lenT[v][t] = (v < as && t < MAX_TREES) ? lengths[t][v] : 0;
 
     memset(freqs, 0, (size_t)nt * sizeof(freqs[0]));
     uint8_t *sp = selectors;
     for (long g = 0; g < ns; g++) {
       const uint16_t *gs = mtfv + g * GROUP_SIZE;
-      uint64_t cp = 0;
-      for (int i = 0; i < GROUP_SIZE; i++) cp += len_pack[gs[i]];
-      unsigned bc = (unsigned)(cp & 0x3FF);
+      uint16_t acc[8] = {0};
+      for (int i = 0; i < GROUP_SIZE; i++) {
+        const uint16_t *lv = lenT[gs[i]];
+        for (int t = 0; t < 8; t++) acc[t] += lv[t];
+      }
+      uint32_t carry = 0;
+      unsigned bc = 0x400;
       int bt = 0;
-      for (int t = 1; t < nt; t++) {
-        cp >>= 10;
-        unsigned c = (unsigned)(cp & 0x3FF);
-        if (c < bc) { bc = c; bt = t; }
+      for (int t = 0; t < nt; t++) {
+        uint32_t lane = acc[t] + carry;
+        carry = lane >> 10;
+        unsigned c = lane & 0x3FF;
+        if (t == 0 || c < bc) { bc = c; bt = t; }
       }
       *sp++ = (uint8_t)bt;
       for (int i = 0; i < GROUP_SIZE; i++) freqs[bt][gs[i]]++;
     }
     for (int t = 0; t < nt; t++)
-      make_code_lengths_c(lengths[t], freqs[t], as);
+      make_code_lengths2(lengths[t], freqs[t], as);
   }
 
   /* reorder trees by first use; assign final codes */
@@ -359,12 +212,13 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
         tmap_old2new[t] = new_nt;
         tmap_new2old[new_nt] = t;
         new_nt++;
-        cost += assign_codes_c(codes_tab[t], lengths[t], freqs[t], as);
+        cost += assign_codes2(codes_tab[t], lengths[t], freqs[t], as);
         codes_tab[t][as] = 0;
         lengths[t][as] = 0;
       }
     }
     if (new_nt == 1) {
+      /* the format requires >= 2 trees: fabricate a balanced dummy */
       new_nt = 2;
       int t = tmap_new2old[0] ^ 1;
       tmap_old2new[t] = 1;
