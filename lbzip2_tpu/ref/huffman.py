@@ -1,21 +1,21 @@
 """Multi-table canonical Huffman modeling — the bzip2 entropy-coder model.
 
-Spec source: reference src/encode.c:547-1137.  Every numeric detail here
-(weight packing, tie-breaking, EM trajectory, package-merge layout,
-height-cost search) is semantically significant: the encoder's output
-bytes depend on it, and bit-exact parity with the reference is a test
-target.  The structures are reimplemented from the documented behavior:
+Behavioral spec: reference src/encode.c:547-1137 (every numeric detail —
+tie-breaking, EM trajectory, height-cost search — is semantically
+significant because the encoder's output bytes depend on it and
+bit-exact parity with the reference binary is a test target).
 
-- weights are 64-bit packed ``freq<<32 | node_depth<<24 | leaves<<16 |
-  (MAX_ALPHA_SIZE - symbol)`` so that sorting is strict (unique low bits)
-  and tree-building tie-breaks prefer shallow nodes;
-- code lengths are built by an in-place Huffman pass
-  (sort + two-queue merge + level count) — lengths may exceed 20 during
-  EM; the final per-tree codes are rebuilt by Package-Merge limited to
-  20 bits plus a tree-height cost search;
-- the EM loop (cluster_factor iterations) selects the cheapest tree per
-  50-symbol group using 10-bit-packed per-tree cost lanes accumulated in
-  uint64 (including its wraparound behavior).
+The implementation mirrors the repo's native formulation
+(lbzip2_tpu/native/huffman2.c): the node order that fixes all
+tie-breaks is the explicit lexicographic key
+
+    K(node) = (freq, height, nleaf mod 256, tag)
+
+with tag = MAX_ALPHA_SIZE - symbol for leaves, and the j-th merge
+carrying the tag of the j-th smallest leaf.  Code lengths come from the
+two-queue Huffman procedure expressed as a decision table over
+leaf/internal FIFOs; length-limited codes come from a textbook
+per-height package-merge (level lists + taken-prefix counting).
 """
 
 from __future__ import annotations
@@ -27,256 +27,225 @@ from lbzip2_tpu.core.constants import (GROUP_SIZE, MAX_ALPHA_SIZE,
 
 MAX_HUFF_CODE_LENGTH = 30
 
-_M64 = (1 << 64) - 1
+
+def _leaf_keys(freq, alpha_size: int, clamp: bool) -> list[tuple]:
+    """Ascending leaf keys (freq, height=0, nleaf=1, tag)."""
+    keys = [(max(int(freq[v]), 1) if clamp else int(freq[v]),
+             0, 1, MAX_ALPHA_SIZE - v) for v in range(alpha_size)]
+    keys.sort()
+    return keys
 
 
-def _sort_desc(weights: list[int]) -> list[int]:
-    """Sort descending (keys are unique by construction)."""
-    return sorted(weights, reverse=True)
+def _merge_key(a: tuple, b: tuple, tag: int) -> tuple:
+    """Build-tree merge: freq sum, height max+1, leaf count mod 256."""
+    return (a[0] + b[0], max(a[1], b[1]) + 1, (a[2] + b[2]) & 0xFF, tag)
 
 
-def _weight_add(w1: int, w2: int) -> int:
-    """Combine two node weights: sum of freqs (upper bits), max depth + 1.
+def _pair_key(a: tuple, b: tuple) -> tuple:
+    """Package-merge pair: only freq sum and height identify a package."""
+    return (a[0] + b[0], max(a[1], b[1]) + 1, 0, 0)
 
-    Reference: weight_add macro (src/encode.c:652) — used by
-    package-merge; keeps only bits >=32 of the sum.
+
+def _huff_depth_profile(keys: list[tuple], as_: int) -> list[int]:
+    """Leaf-depth histogram of the two-queue Huffman code over `keys`.
+
+    Decision table per merge step (ties prefer leaves):
+      - two internals when there is no leaf, or the 2nd-oldest internal
+        is strictly cheaper than the cheapest leaf;
+      - two leaves when there is no internal, or the 2nd-cheapest leaf
+        is <= the oldest internal;
+      - otherwise one of each (oldest internal + cheapest leaf).
     """
-    return ((((w1 + w2) & ~0xFFFFFFFF) +
-             max(w1 & 0xFF000000, w2 & 0xFF000000) + 0x01000000) & _M64)
+    children: list[tuple[int, int]] = []  # per internal node
+    ikeys: list[tuple] = []               # internal FIFO keys
+    li = 0  # next leaf
+    ii = 0  # internal FIFO head
 
+    def pick():
+        nonlocal li, ii
+        nleaf = as_ - li
+        nint = len(ikeys) - ii
+        if nleaf == 0 or (nint >= 2 and ikeys[ii + 1] < keys[li]):
+            c = (~ii, ~(ii + 1))
+            ii += 2
+        elif nint == 0 or (nleaf >= 2 and keys[li + 1] <= ikeys[ii]):
+            c = (li, li + 1)
+            li += 2
+        else:
+            c = (~ii, li)
+            ii += 1
+            li += 1
+        return c
 
-def _build_tree_weight_add(w1: int, w2: int, low16: int) -> int:
-    """Internal-node weight during in-place Huffman (src/encode.c:609).
+    for step in range(1, as_):
+        c0, c1 = pick()
+        k0 = ikeys[~c0] if c0 < 0 else keys[c0]
+        k1 = ikeys[~c1] if c1 < 0 else keys[c1]
+        ikeys.append(_merge_key(k0, k1, keys[step - 1][3]))
+        children.append((c0, c1))
 
-    Keeps bits >=32 and 16-23 of the sum (leaf-count accumulation), the
-    max-depth byte + 1, and the positional low 16 bits of the slot."""
-    s = (w1 + w2) & _M64
-    return ((low16 & 0xFFFF) + (s & ~0xFF00FFFF & _M64) +
-            max(w1 & 0xFF000000, w2 & 0xFF000000) + 0x01000000) & _M64
+    prof = [0] * (MAX_HUFF_CODE_LENGTH + 1)
+    if as_ == 1:
+        prof[0] = 1
+        return prof
+    stack = [(len(children) - 1, 0)]  # (internal index, depth)
+    while stack:
+        node, d = stack.pop()
+        for c in children[node]:
+            if c >= 0:
+                dc = min(d + 1, MAX_HUFF_CODE_LENGTH)
+                prof[dc] += 1
+            else:
+                stack.append((~c, d + 1))
+    return prof
 
 
 def make_code_lengths(freq: np.ndarray, alpha_size: int) -> np.ndarray:
-    """In-place-Huffman code lengths (may exceed 20): reference
-    make_code_lengths (src/encode.c:713-766)."""
-    as_ = alpha_size
-    weight = [((max(int(freq[i]), 1) << 32) | 0x10000 | (MAX_ALPHA_SIZE - i))
-              for i in range(as_)]
-    weight = _sort_desc(weight)
+    """Huffman code lengths, unlimited depth (EM inner loop variant).
 
-    # Two-queue Huffman merge over the descending-sorted array, consuming
-    # leaves from the tail (s) and internal nodes from (r); parent
-    # pointers land in V, node weights overwrite slots [1..as-1].
-    V = [0] * as_
-    r = as_
-    s = as_
-    for t in range(as_ - 1, 0, -1):
-        if s < 1 or (r > t + 2 and weight[r - 2] < weight[s - 1]):
-            V[r - 1] = t
-            V[r - 2] = t
-            w1, w2 = weight[r - 1], weight[r - 2]
-            r -= 2
-        elif r < t + 2 or (s > 1 and weight[s - 2] <= weight[r - 1]):
-            w1, w2 = weight[s - 1], weight[s - 2]
-            s -= 2
-        else:
-            V[r - 1] = t
-            w1, w2 = weight[r - 1], weight[s - 1]
-            s -= 1
-            r -= 1
-        weight[t] = _build_tree_weight_add(w1, w2, weight[t])
-
-    # Depth counting per level (reference compute_depths).
-    count = [0] * (MAX_HUFF_CODE_LENGTH + 2)
-    V[1] = 0
-    node = 2
-    depth = 1
-    avail = 2
-    while depth <= MAX_HUFF_CODE_LENGTH:
-        used = 0
-        while node < as_ and V[V[node]] + 1 == depth:
-            used += 1
-            V[node] = depth
-            node += 1
-        count[depth] = avail - used
-        depth += 1
-        avail = used << 1
-
+    Zero frequencies are clamped to 1.  Depths are re-assigned by rank
+    profile: the q-th smallest leaf gets the q-th largest depth.
+    """
+    keys = _leaf_keys(freq, alpha_size, clamp=True)
+    prof = _huff_depth_profile(keys, alpha_size)
     lengths = np.zeros(MAX_ALPHA_SIZE + 1, dtype=np.uint8)
-    i = 0
-    for d in range(0, MAX_HUFF_CODE_LENGTH + 1):
-        k = count[d]
-        while k:
-            sym = MAX_ALPHA_SIZE - (weight[i] & 0xFFFF)
-            lengths[sym] = d
-            i += 1
-            k -= 1
-    assert i == as_
+    rank = 0
+    for d in range(MAX_HUFF_CODE_LENGTH, -1, -1):
+        for _ in range(prof[d]):
+            lengths[MAX_ALPHA_SIZE - keys[rank][3]] = d
+            rank += 1
+    assert rank == alpha_size
     return lengths
 
 
-def _package_merge(leaf_weight: list[int], as_: int) -> list[list[int]]:
-    """Package-Merge over strictly-monotone weights.
+def _pm_depths(leaves: list[tuple], as_: int, h: int) -> list[int]:
+    """Textbook package-merge depth-by-rank for height limit h.
 
-    Returns tree[depth][i] tables with the same meaning as the
-    reference's (src/encode.c:660-710): tree[h][d] = number of packages
-    at depth > d in the h-limited solution; leaves at depth d =
-    tree[h][d-1] - tree[h][d].
-    `leaf_weight` is 1-based with leaf_weight[0] = +inf sentinel.
+    Level list L_1 = sorted leaves; L_d = merge(leaves, adjacent pairs
+    of L_{d-1}).  The optimal solution takes the first 2(as-1) items of
+    L_h; a leaf's code length = number of levels whose taken prefix
+    contains it.
     """
-    L = MAX_CODE_LENGTH
-    tree = [[0] * (L + 1) for _ in range(L + 1)]
-    pkg_weight = [0] * (L + 1)
-    prev_weight = [0] * (L + 1)
-    curr_weight = [0] * (L + 1)
-
-    pkg_weight[0] = _M64  # effectively +infinity
-
-    for depth in range(1, L + 1):
-        tree[depth][0] = 2
-        pkg_weight[depth] = _weight_add(leaf_weight[as_], leaf_weight[as_ - 1])
-        prev_weight[depth] = leaf_weight[as_ - 1]
-        curr_weight[depth] = leaf_weight[as_ - 2]
-
-    stack = [0] * (L + 2)
-    for _ in range(2, as_):
-        depth = L
-        sp = 0  # stack top
-        stack[0] = L  # mirrors reference count[0] = MAX_CODE_LENGTH
-        next_depth = 1
-        while True:
-            if pkg_weight[depth - 1] <= curr_weight[depth]:
-                if depth != 1:
-                    tree[depth][1:L + 1] = tree[depth - 1][0:L]
-                    pkg_weight[depth] = _weight_add(prev_weight[depth],
-                                                    pkg_weight[depth - 1])
-                    prev_weight[depth] = pkg_weight[depth - 1]
-                    depth -= 1
-                    stack[next_depth] = depth
-                    next_depth += 1
-                    continue
-                else:
-                    pass  # fall through to pop
+    lists: list[list[tuple[tuple, bool]]] = [[]] * (h + 1)
+    lists[1] = [(k, True) for k in leaves]
+    for d in range(2, h + 1):
+        prev = lists[d - 1]
+        pairs = [_pair_key(prev[2 * j][0], prev[2 * j + 1][0])
+                 for j in range(len(prev) // 2)]
+        merged = []
+        i = j = 0
+        while i < as_ or j < len(pairs):
+            if j >= len(pairs) or (i < as_ and leaves[i] <= pairs[j]):
+                merged.append((leaves[i], True))
+                i += 1
             else:
-                tree[depth][0] += 1
-                pkg_weight[depth] = _weight_add(prev_weight[depth],
-                                                curr_weight[depth])
-                prev_weight[depth] = curr_weight[depth]
-                curr_weight[depth] = leaf_weight[as_ - tree[depth][0]]
-            if next_depth == 0:
-                break
-            next_depth -= 1
-            depth = stack[next_depth]
-    return tree
+                merged.append((pairs[j], False))
+                j += 1
+        lists[d] = merged
+
+    depth = [0] * as_
+    take = 2 * (as_ - 1)
+    for d in range(h, 0, -1):
+        if take <= 0:
+            break
+        take = min(take, len(lists[d]))
+        pkgs = 0
+        rank = 0
+        for i in range(take):
+            if lists[d][i][1]:
+                depth[rank] += 1
+                rank += 1
+            else:
+                pkgs += 1
+        take = 2 * pkgs
+    return depth
 
 
 def assign_codes(freq: np.ndarray, alpha_size: int
                  ) -> tuple[np.ndarray, np.ndarray, int]:
     """Length-limited canonical codes + transmission cost.
 
-    Reference assign_codes (src/encode.c:882-987).  Returns
-    (lengths[MAX_ALPHA_SIZE+1], codes[MAX_ALPHA_SIZE+1], cost_bits).
+    Searches heights 2..MAX_CODE_LENGTH for the cheapest delta-coded
+    tree (spec quirks preserved: the search breaks at the first height
+    whose solution doesn't use its full depth, and an immediately-broken
+    search reports cost 2^32-1 with height MAX_CODE_LENGTH).
+    Returns (lengths[MAX_ALPHA_SIZE+1], codes[...], cost_bits).
     """
     as_ = alpha_size
-    lw = [0] * (as_ + 1)
-    for leaf in range(as_):
-        lw[leaf + 1] = ((int(freq[leaf]) << 32) | 0x10000 |
-                        (MAX_ALPHA_SIZE - leaf))
-    lw = [lw[0]] + _sort_desc(lw[1:])
-    lw[0] = _M64  # sentinel: effectively +infinity
-
-    tree = _package_merge(lw, as_)
-
+    leaves = _leaf_keys(freq, as_, clamp=False)
     lengths = np.zeros(MAX_ALPHA_SIZE + 1, dtype=np.uint8)
-    best_cost = _M64
-    best_height = MAX_CODE_LENGTH
 
-    for height in range(2, MAX_CODE_LENGTH + 1):
-        if (1 << height) < as_:
+    best_cost = (1 << 64) - 1
+    best_height = MAX_CODE_LENGTH
+    for h in range(2, MAX_CODE_LENGTH + 1):
+        if (1 << h) < as_:
             continue
-        if tree[height][height - 1] == 0:
-            break
+        dbr = _pm_depths(leaves, as_, h)
+        if dbr[0] != h:
+            break  # solution shallower than its limit
         cost = 0
-        leaf = 0
-        for depth in range(1, height + 1):
-            avail = tree[height][depth - 1] - tree[height][depth]
-            for _ in range(avail):
-                sym = MAX_ALPHA_SIZE - (lw[leaf + 1] & 0xFFFF)
-                lengths[sym] = depth
-                cost += (lw[leaf + 1] >> 32) * depth
-                leaf += 1
+        for q in range(as_):
+            lengths[MAX_ALPHA_SIZE - leaves[q][3]] = dbr[q]
+            cost += leaves[q][0] * dbr[q]
         for sym in range(1, as_):
             cost += 2 * abs(int(lengths[sym - 1]) - int(lengths[sym]))
         cost += 5 + as_
         if cost < best_cost:
             best_cost = cost
-            best_height = height
+            best_height = h
 
-    # Regenerate lengths and base codes for the chosen height.
-    base_code = [0] * (MAX_CODE_LENGTH + 1)
-    leaf = 0
+    dbr = _pm_depths(leaves, as_, best_height)
+    cnt = [0] * (MAX_CODE_LENGTH + 2)
+    for q in range(as_):
+        lengths[MAX_ALPHA_SIZE - leaves[q][3]] = dbr[q]
+        cnt[dbr[q]] += 1
+
+    base_code = [0] * (MAX_CODE_LENGTH + 2)
     next_code = 0
-    for depth in range(1, best_height + 1):
-        avail = tree[best_height][depth - 1] - tree[best_height][depth]
-        base_code[depth] = next_code
-        next_code = (next_code + avail) << 1
-        for _ in range(avail):
-            sym = MAX_ALPHA_SIZE - (lw[leaf + 1] & 0xFFFF)
-            lengths[sym] = depth
-            leaf += 1
+    for d in range(1, best_height + 1):
+        base_code[d] = next_code
+        next_code = (next_code + cnt[d]) << 1
     assert next_code == (1 << (best_height + 1))
-    assert leaf == as_
 
     codes = np.zeros(MAX_ALPHA_SIZE + 1, dtype=np.uint32)
     for sym in range(as_):
         d = int(lengths[sym])
         codes[sym] = base_code[d]
         base_code[d] += 1
-    return lengths, codes, int(best_cost)
+    return lengths, codes, int(best_cost) & 0xFFFFFFFF
 
 
 def generate_initial_trees(mtf_freq: np.ndarray, nm: int, nt: int
                            ) -> np.ndarray:
-    """Initial equivalence-class split (reference src/encode.c:779-841).
+    """Initial equivalence-class split over frequency prefix sums.
 
-    Returns length[MAX_TREES][MAX_ALPHA_SIZE+1] with 0 inside the class,
-    1 outside."""
+    Class t spans [a, b): b extends while the remaining classes can
+    still each get a nonzero symbol and the class holds under 1/m of
+    the remaining mass (m = classes left, current included); a class
+    that overshot the average by more than half its last symbol's
+    frequency gives that symbol back.  Returns
+    length[MAX_TREES][MAX_ALPHA_SIZE+1]: 0 inside the class, 1 outside.
+    """
     length = np.ones((MAX_TREES, MAX_ALPHA_SIZE + 1), dtype=np.uint8)
+    P = np.concatenate([[0], np.cumsum(mtf_freq, dtype=np.int64)])
+    NZ = np.concatenate([[0], np.cumsum(mtf_freq > 0, dtype=np.int64)])
+    nz_total = int(NZ[-1])
+    nte = min(nt, nz_total)
 
-    as_eff = 0
     a = 0
-    cum = 0
-    while cum < nm:
-        f = int(mtf_freq[a])
-        cum += f
-        as_eff += min(f, 1)
-        a += 1
-    assert cum == nm
-
-    nt = min(nt, as_eff)
-    a = 0
-    t = 0
-    nm_rem = nm
-    while nt > 0:
-        freq = int(mtf_freq[a])
-        cum = freq
-        as_eff -= min(freq, 1)
+    for m in range(nte, 0, -1):
+        t = nte - m
+        rem = nm - int(P[a])
         b = a + 1
-        while as_eff > nt - 1 and cum * nt < nm_rem:
-            freq = int(mtf_freq[b])
-            cum += freq
-            as_eff -= min(freq, 1)
+        while nz_total - int(NZ[b]) > m - 1 and \
+                (int(P[b]) - int(P[a])) * m < rem:
             b += 1
-        if cum > freq and (2 * cum - freq) * nt > 2 * nm_rem:
-            cum -= freq
-            as_eff += min(freq, 1)
+        c2 = int(P[b]) - int(P[a])
+        f_last = int(mtf_freq[b - 1])
+        if c2 > f_last and (2 * c2 - f_last) * m > 2 * rem:
             b -= 1
         length[t, a:b] = 0
         a = b
-        nm_rem -= cum
-        t += 1
-        nt -= 1
-    assert as_eff == 0
-    assert nm_rem == 0
     return length
 
 
@@ -307,7 +276,7 @@ class PrefixModel:
 
 def generate_prefix_code(mtfv: np.ndarray, cluster_factor: int
                          ) -> PrefixModel:
-    """EM tree clustering + code assignment (src/encode.c:1005-1137).
+    """EM tree clustering + code assignment (spec: encode.c:1005-1137).
 
     `mtfv` is the MTF value array ending in EOB."""
     nm = int(mtfv.size)
@@ -331,18 +300,18 @@ def generate_prefix_code(mtfv: np.ndarray, cluster_factor: int
 
     for _ in range(cluster_factor):
         # Pack per-tree code lengths into 10-bit lanes of uint64 and
-        # accumulate per group with uint64 wraparound (reference
-        # len_pack / find_best_tree).
+        # accumulate per group with uint64 wraparound: lane t of the
+        # group sum is the tree-t group cost plus the carry chain from
+        # lower lanes — part of the spec behavior.
         len_pack = np.zeros(as_ + 1, dtype=np.uint64)
         for t in range(MAX_TREES):
             len_pack[:as_] += (lengths[t, :as_].astype(np.uint64)
                                << np.uint64(10 * t))
-        # group cost sums (wraparound is part of the spec behavior)
         gvals = len_pack[groups]  # (ns, 50)
         gsums = gvals.sum(axis=1, dtype=np.uint64)
         lanes = np.stack([(gsums >> np.uint64(10 * t)) & np.uint64(0x3FF)
                           for t in range(nt)], axis=1)
-        selectors = np.argmin(lanes, axis=1)  # first min wins, as reference
+        selectors = np.argmin(lanes, axis=1)  # first min wins, as spec
 
         freqs[:] = 0
         for t in range(nt):
@@ -383,7 +352,7 @@ def generate_prefix_code(mtfv: np.ndarray, cluster_factor: int
     assert new_nt >= 1
     if new_nt == 1:
         # bzip2 requires >= 2 trees: synthesize a dummy balanced tree
-        # (reference src/encode.c:1117-1132).
+        # (spec: src/encode.c:1117-1132).
         new_nt = 2
         t = int(tmap_new2old[0]) ^ 1
         tmap_old2new[t] = 1
