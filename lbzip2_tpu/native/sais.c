@@ -135,26 +135,94 @@ static void sais_##SUFFIX(const CHAR_T *s, int32_t *SA, int32_t n,      \
 SAIS_TEMPLATE(int, int32_t)
 SAIS_TEMPLATE(u8, uint8_t)
 
-/* Rotation-sort BWT of T[0..n): returns primary index, fills bwt_out. */
+/* Index of the lexicographically least rotation of T[0..n): the classic
+ * two-pointer duel (amortized O(n), no extra memory).  Two candidate
+ * starts race; a mismatch at offset k disqualifies the loser and every
+ * start it dominates. */
+long lbz2_min_rotation(const uint8_t *T, long n) {
+  long i = 0, j = 1, k = 0;
+  while (i < n && j < n && k < n) {
+    uint8_t a = T[(i + k) % n], b = T[(j + k) % n];
+    if (a == b) { k++; continue; }
+    if (a > b) i += k + 1; else j += k + 1;
+    if (i == j) j++;
+    k = 0;
+  }
+  return i < j ? i : j;
+}
+
+/* Smallest period p of T[0..n) with p | n (n if T is primitive), via
+ * the KMP failure function. */
+long lbz2_period(const uint8_t *T, long n, int32_t *fail /* n entries */) {
+  fail[0] = 0;
+  for (long q = 1; q < n; q++) {
+    int32_t f = fail[q - 1];
+    while (f > 0 && T[q] != T[f]) f = fail[f - 1];
+    if (T[q] == T[f]) f++;
+    fail[q] = f;
+  }
+  long p = n - fail[n - 1];
+  return (n % p == 0) ? p : n;
+}
+
+/* Rotation-sort BWT of T[0..n): returns primary index, fills bwt_out.
+ *
+ * Fast path: rotate T to its least rotation R (a Lyndon word when T is
+ * primitive); the rotations of a Lyndon word sort in the same relative
+ * order as its suffixes, so one n-length SA-IS suffices.  Rotation j of
+ * T is rotation (j - m) mod n of R; the BWT byte for suffix rank r is
+ * R[(SA[r] + n - 1) mod n] and the primary index is the rank of
+ * R-rotation (n - m) mod n.
+ *
+ * Fully-periodic blocks (T = u^k) fall back to the doubled-string sort,
+ * whose tie order (equal rotations by descending start) is the repo's
+ * established convention.  Replaces the role of the reference's
+ * divsufsort (src/divbwt.c) with different algorithms throughout. */
 long lbz2_bwt(const uint8_t *T, long n, uint8_t *bwt_out) {
   if (n <= 0) return -1;
   if (n == 1) { bwt_out[0] = T[0]; return 0; }
-  long nn = 2 * n;
-  uint8_t *s = (uint8_t *)malloc((size_t)nn);
-  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
-  if (!s || !SA) { free(s); free(SA); return -2; }
-  memcpy(s, T, (size_t)n);
-  memcpy(s + n, T, (size_t)n);
-  sais_u8(s, SA, (int32_t)nn, 256);
-  long r = 0, idx = -1;
-  for (long i = 0; i < nn; i++) {
-    int32_t p = SA[i];
-    if (p < n) {
-      if (p == 0) idx = r;
-      bwt_out[r++] = T[p == 0 ? n - 1 : p - 1];
+
+  long m = lbz2_min_rotation(T, n);
+  uint8_t *R = (uint8_t *)malloc((size_t)n);
+  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+  if (!R || !SA) { free(R); free(SA); return -2; }
+  memcpy(R, T + m, (size_t)(n - m));
+  memcpy(R + n - m, T, (size_t)m);
+
+  long p = lbz2_period(R, n, SA /* scratch */);
+  if (p < n) {
+    /* fully periodic: doubled-string fallback (rare) */
+    free(R);
+    free(SA);
+    long nn = 2 * n;
+    uint8_t *s = (uint8_t *)malloc((size_t)nn);
+    int32_t *SA2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
+    if (!s || !SA2) { free(s); free(SA2); return -2; }
+    memcpy(s, T, (size_t)n);
+    memcpy(s + n, T, (size_t)n);
+    sais_u8(s, SA2, (int32_t)nn, 256);
+    long r = 0, idx = -1;
+    for (long i = 0; i < nn; i++) {
+      int32_t q = SA2[i];
+      if (q < n) {
+        if (q == 0) idx = r;
+        bwt_out[r++] = T[q == 0 ? n - 1 : q - 1];
+      }
     }
+    free(s);
+    free(SA2);
+    return idx;
   }
-  free(s);
+
+  sais_u8(R, SA, (int32_t)n, 256);
+  long i0 = (n - m) % n; /* R-rotation index of T-rotation 0 */
+  long idx = -1;
+  for (long r = 0; r < n; r++) {
+    int32_t q = SA[r];
+    if (q == i0) idx = r;
+    bwt_out[r] = R[q == 0 ? n - 1 : q - 1];
+  }
+  free(R);
   free(SA);
   return idx;
 }
