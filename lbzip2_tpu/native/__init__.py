@@ -24,7 +24,8 @@ _lock = threading.Lock()
 
 
 def _build() -> pathlib.Path | None:
-    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+    newest_src = max(p.stat().st_mtime for p in _DIR.glob("*.c"))
+    if _SO.exists() and _SO.stat().st_mtime >= newest_src:
         return _SO
     try:
         subprocess.run(
@@ -77,6 +78,9 @@ def get_lib():
             ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p]
         lib.lbz2_bwt.restype = ctypes.c_long
         lib.lbz2_bwt.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.lbz2_lyndon_prep.restype = ctypes.c_long
+        lib.lbz2_lyndon_prep.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
         lib.lbz2_encode_block.restype = ctypes.c_long
         lib.lbz2_encode_block.argtypes = [
@@ -195,6 +199,20 @@ def bwt(block: np.ndarray) -> tuple[np.ndarray, int]:
                        out.ctypes.data_as(ctypes.c_void_p))
     assert idx >= 0
     return out, int(idx)
+
+
+def lyndon_prep(block: np.ndarray, out: np.ndarray | None = None
+                ) -> tuple[np.ndarray, int]:
+    """Least rotation of `block` + rotation index m, or m = -1 if the
+    block is fully periodic (device path must fall back to host bwt)."""
+    lib = get_lib()
+    block = np.ascontiguousarray(block, dtype=np.uint8)
+    if out is None:
+        out = np.empty(block.size, np.uint8)
+    m = lib.lbz2_lyndon_prep(block.ctypes.data_as(ctypes.c_void_p),
+                             block.size,
+                             out.ctypes.data_as(ctypes.c_void_p))
+    return out, int(m)
 
 
 def encode_block(block: np.ndarray, cmap_bool: np.ndarray,

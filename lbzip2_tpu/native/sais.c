@@ -136,33 +136,56 @@ SAIS_TEMPLATE(int, int32_t)
 SAIS_TEMPLATE(u8, uint8_t)
 
 /* Index of the lexicographically least rotation of T[0..n): the classic
- * two-pointer duel (amortized O(n), no extra memory).  Two candidate
- * starts race; a mismatch at offset k disqualifies the loser and every
- * start it dominates. */
+ * two-pointer duel (amortized O(n)).  Runs over a doubled copy so the
+ * inner loop needs no wraparound arithmetic.  Two candidate starts
+ * race; a mismatch at offset k disqualifies the loser and every start
+ * it dominates. */
 long lbz2_min_rotation(const uint8_t *T, long n) {
+  uint8_t *TT = (uint8_t *)malloc((size_t)(2 * n));
+  if (!TT) return 0; /* degrade: rotation 0 is always valid input */
+  memcpy(TT, T, (size_t)n);
+  memcpy(TT + n, T, (size_t)n);
   long i = 0, j = 1, k = 0;
   while (i < n && j < n && k < n) {
-    uint8_t a = T[(i + k) % n], b = T[(j + k) % n];
+    uint8_t a = TT[i + k], b = TT[j + k];
     if (a == b) { k++; continue; }
     if (a > b) i += k + 1; else j += k + 1;
     if (i == j) j++;
     k = 0;
   }
+  free(TT);
   return i < j ? i : j;
 }
 
-/* Smallest period p of T[0..n) with p | n (n if T is primitive), via
- * the KMP failure function. */
-long lbz2_period(const uint8_t *T, long n, int32_t *fail /* n entries */) {
-  fail[0] = 0;
-  for (long q = 1; q < n; q++) {
-    int32_t f = fail[q - 1];
-    while (f > 0 && T[q] != T[f]) f = fail[f - 1];
-    if (T[q] == T[f]) f++;
-    fail[q] = f;
+/* Is R[0..n) a proper power u^k?  R is periodic with some period p < n
+ * dividing n iff it has period n/q for some prime q | n, so a handful
+ * of (early-exiting) border memcmps decide primitivity in practice in
+ * O(#prime factors) time on non-degenerate data. */
+static int is_periodic(const uint8_t *R, long n) {
+  long rest = n;
+  for (long q = 2; q * q <= rest; q++) {
+    if (rest % q) continue;
+    while (rest % q == 0) rest /= q;
+    long p = n / q;
+    if (memcmp(R, R + p, (size_t)(n - p)) == 0) return 1;
   }
-  long p = n - fail[n - 1];
-  return (n % p == 0) ? p : n;
+  if (rest > 1 && rest < n) {
+    long p = n / rest;
+    if (memcmp(R, R + p, (size_t)(n - p)) == 0) return 1;
+  }
+  return 0;
+}
+
+/* Prepare one block for the suffix-sort BWT paths: write the least
+ * rotation of T into R[0..n) and return the rotation index m, or -1 if
+ * T is fully periodic (caller must use the doubled-string fallback). */
+long lbz2_lyndon_prep(const uint8_t *T, long n, uint8_t *R) {
+  if (n <= 0) return -1;
+  long m = lbz2_min_rotation(T, n);
+  memcpy(R, T + m, (size_t)(n - m));
+  memcpy(R + n - m, T, (size_t)m);
+  if (n == 1) return 0;
+  return is_periodic(R, n) ? -1 : m;
 }
 
 /* Rotation-sort BWT of T[0..n): returns primary index, fills bwt_out.
@@ -175,25 +198,19 @@ long lbz2_period(const uint8_t *T, long n, int32_t *fail /* n entries */) {
  * R-rotation (n - m) mod n.
  *
  * Fully-periodic blocks (T = u^k) fall back to the doubled-string sort,
- * whose tie order (equal rotations by descending start) is the repo's
- * established convention.  Replaces the role of the reference's
+ * whose tie order (equal rotations by descending start) is the repo\'s
+ * established convention.  Replaces the role of the reference\'s
  * divsufsort (src/divbwt.c) with different algorithms throughout. */
 long lbz2_bwt(const uint8_t *T, long n, uint8_t *bwt_out) {
   if (n <= 0) return -1;
   if (n == 1) { bwt_out[0] = T[0]; return 0; }
 
-  long m = lbz2_min_rotation(T, n);
   uint8_t *R = (uint8_t *)malloc((size_t)n);
-  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
-  if (!R || !SA) { free(R); free(SA); return -2; }
-  memcpy(R, T + m, (size_t)(n - m));
-  memcpy(R + n - m, T, (size_t)m);
-
-  long p = lbz2_period(R, n, SA /* scratch */);
-  if (p < n) {
+  if (!R) return -2;
+  long m = lbz2_lyndon_prep(T, n, R);
+  if (m < 0) {
     /* fully periodic: doubled-string fallback (rare) */
     free(R);
-    free(SA);
     long nn = 2 * n;
     uint8_t *s = (uint8_t *)malloc((size_t)nn);
     int32_t *SA2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)nn);
@@ -214,6 +231,8 @@ long lbz2_bwt(const uint8_t *T, long n, uint8_t *bwt_out) {
     return idx;
   }
 
+  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+  if (!SA) { free(R); return -2; }
   sais_u8(R, SA, (int32_t)n, 256);
   long i0 = (n - m) % n; /* R-rotation index of T-rotation 0 */
   long idx = -1;

@@ -1,0 +1,361 @@
+"""Device BWT v2: gather-free suffix doubling over Lyndon conjugates.
+
+Replaces the rotation-sort formulation of ops/bwt.py with a *suffix*
+sort: the host rotates each block to its least rotation (a Lyndon word
+for primitive blocks), whose suffix order equals its rotation order, so
+the device kernel never needs per-row cyclic indexing.  That removes
+the two operations this chip does worst (random gather ~14 ms/row and
+scatter ~7 ms/row at batch 64) from the inner loop:
+
+  - rank lookups ``ISA[i + k]`` become one ``dynamic_slice`` of an ISA
+    array extended with position-coded end sentinels (past-end ranks
+    are ``n - p - BIG``: strictly increasing toward shorter suffixes,
+    so a shorter suffix — a prefix of a longer one — sorts first, and
+    every tie at a sentinel resolves immediately);
+  - each pass sorts 4 rank keys at once (measured 1.42x the cost of a
+    2-key sort for 2x the rank advance), so k multiplies by 4/pass;
+  - the new ISA is rebuilt by a 1-key sort over positions when that
+    beats the scatter (both implemented; flag below).
+
+Spec note: any correct rotation sort yields the reference-identical
+BWT string (see SURVEY §7.2); tie order for fully-periodic blocks is
+host-side (those rows never reach this kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = jnp.int32(2 ** 31 - 1)
+_BIG = jnp.int32(1 << 30)
+
+# ISA rebuild strategy: "sort" (1-key sort by position) or "scatter".
+INVERT = "sort"
+
+
+def _iota(B, N):
+    return jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+
+
+def _rows(B):
+    return jnp.arange(B, dtype=jnp.int32)[:, None]
+
+
+def _invert(newr, spos, nB, B, N):
+    """ISA[pos] = rank for valid sorted lanes (spos < n per row)."""
+    if INVERT == "sort":
+        key = jnp.where(spos < nB, spos, _INF)
+        _, isa = jax.lax.sort((key, newr), num_keys=1, dimension=1)
+        return isa
+    return jnp.zeros((B, N), jnp.int32).at[
+        _rows(B), jnp.where(spos < nB, spos, N)].set(newr, mode="drop")
+
+
+def _rank_from_sorted(starts, lane):
+    """Rank = SA slot of the first member of each equal-key class."""
+    return jax.lax.cummax(jnp.where(starts, lane, 0), axis=1)
+
+
+def _starts(keys):
+    """Class-start flags along lanes for a tuple of sorted key rows."""
+    s = None
+    for a in keys:
+        d = jnp.pad(a[:, 1:] != a[:, :-1], ((0, 0), (1, 0)),
+                    constant_values=True)
+        s = d if s is None else (s | d)
+    return s
+
+
+def _unresolved(starts, spos, nB):
+    """Per-row count of valid positions in classes of size >= 2."""
+    run_end = jnp.pad(starts[:, 1:], ((0, 0), (0, 1)),
+                      constant_values=True)
+    singleton = starts & run_end
+    return jnp.sum((~singleton) & (spos < nB), axis=1, dtype=jnp.int32)
+
+
+@jax.jit
+def seed8(blocks: jnp.ndarray, ns: jnp.ndarray):
+    """Initial ISA from the 8-byte suffix prefix (k = 8 afterwards).
+
+    blocks: (B, N) uint8 Lyndon conjugates; ns: (B,) row lengths.
+    Returns (ISA (B,N) int32, cnt (B,) unresolved counts).
+    """
+    B, N = blocks.shape
+    idxB = _iota(B, N)
+    nB = ns[:, None]
+    # bytes+1 with 0 sentinels, padded so static slices cover i+7
+    bp = jnp.where(idxB < nB, blocks.astype(jnp.int32) + 1, 0)
+    ext = jnp.concatenate([bp, jnp.zeros((B, 8), jnp.int32)], axis=1)
+
+    def key(q):  # bytes 2q, 2q+1 in 9-bit lanes
+        k = (jax.lax.slice(ext, (0, 2 * q), (B, 2 * q + N)) << 9) | \
+            jax.lax.slice(ext, (0, 2 * q + 1), (B, 2 * q + 1 + N))
+        return k
+
+    k0 = jnp.where(idxB < nB, key(0), _INF)
+    ops = jax.lax.sort((k0, key(1), key(2), key(3), idxB),
+                       num_keys=4, dimension=1)
+    sk, spos = ops[:-1], ops[-1]
+    st = _starts(sk)
+    newr = _rank_from_sorted(st, idxB)
+    cnt = _unresolved(st, spos, nB)
+    return _invert(newr, spos, nB, B, N), cnt
+
+
+def _extend(ISA, idxB, nB, N):
+    """ISA with end sentinels in-row and a sentinel tail (width 2N)."""
+    B = ISA.shape[0]
+    body = jnp.where(idxB < nB, ISA, nB - idxB - _BIG)
+    tail = nB - (idxB + N) - _BIG
+    return jnp.concatenate([body, tail], axis=1)
+
+
+@jax.jit
+def pass4(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
+    """One x4 doubling pass: sort by ranks at offsets (0, k, 2k, 3k).
+
+    Returns (ISA', cnt) with rank distance advanced to 4k.
+    """
+    B, N = ISA.shape
+    idxB = _iota(B, N)
+    nB = ns[:, None]
+    ext = _extend(ISA, idxB, nB, N)
+
+    def at(off):
+        off = jnp.minimum(off, jnp.int32(N))
+        v = jax.lax.dynamic_slice(ext, (jnp.int32(0), off), (B, N))
+        return v
+
+    r1 = jnp.where(idxB < nB, ISA, _INF)  # pads sort last
+    r2, r3, r4 = at(k), at(2 * k), at(3 * k)
+    # beyond-slice lanes (i+off >= N+off window) still need sentinels
+    r3 = jnp.where(idxB + 2 * k < 2 * N, r3, nB - (idxB + 2 * k) - _BIG)
+    r4 = jnp.where(idxB + 3 * k < 2 * N, r4, nB - (idxB + 3 * k) - _BIG)
+
+    sr1, sr2, sr3, sr4, spos = jax.lax.sort(
+        (r1, r2, r3, r4, idxB), num_keys=4, dimension=1)
+    st = _starts((sr1, sr2, sr3, sr4))
+    newr = _rank_from_sorted(st, idxB)
+    cnt = _unresolved(st, spos, nB)
+    return _invert(newr, spos, nB, B, N), cnt
+
+
+@jax.jit
+def emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
+          ms: jnp.ndarray):
+    """BWT bytes (int32-packed rows) + primary index per row.
+
+    ms: (B,) least-rotation offsets of the original blocks; the primary
+    index is the rank of original rotation 0 = ISA[(n - m) mod n].
+    """
+    B, N = blocks.shape
+    idxB = _iota(B, N)
+    nB = ns[:, None]
+    last = jnp.take_along_axis(blocks, nB - 1, axis=1)  # R[n-1]
+    prev = jnp.concatenate([last, blocks[:, :N - 1].astype(jnp.uint8)],
+                           axis=1)
+    key = jnp.where(idxB < nB, ISA, _INF)
+    _, sbwt = jax.lax.sort((key, prev.astype(jnp.int32)), num_keys=1,
+                           dimension=1)
+    out = sbwt.astype(jnp.uint8)
+    packed = jax.lax.bitcast_convert_type(
+        out.reshape(B, N // 4, 4), jnp.int32)
+    i0 = jnp.where(ms[:, None] == 0, 0, ns[:, None] - ms[:, None])
+    primary = jnp.take_along_axis(ISA, i0, axis=1)[:, 0]
+    return packed, primary
+
+
+# ---------------------------------------------------------------------------
+# Compact-tail passes: once few ties survive, work on the unresolved
+# set only.  r1/wpos are (B, C) compacted arrays in rank order (INF/N
+# at dead lanes); lookups gather from the full ISA (cheap at small C).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def compact(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
+    """Full-width pass that additionally emits the compacted tie set.
+
+    Returns (ISA', cnt, r1 (B,N), wpos (B,N)): r1/wpos hold unresolved
+    (rank, position) pairs compacted to the front in rank order; the
+    caller slices them to the next power-of-two capacity.
+    """
+    B, N = ISA.shape
+    idxB = _iota(B, N)
+    nB = ns[:, None]
+    ext = _extend(ISA, idxB, nB, N)
+
+    def at(off):
+        off = jnp.minimum(off, jnp.int32(N))
+        return jax.lax.dynamic_slice(ext, (jnp.int32(0), off), (B, N))
+
+    r1 = jnp.where(idxB < nB, ISA, _INF)
+    r2, r3, r4 = at(k), at(2 * k), at(3 * k)
+    r3 = jnp.where(idxB + 2 * k < 2 * N, r3, nB - (idxB + 2 * k) - _BIG)
+    r4 = jnp.where(idxB + 3 * k < 2 * N, r4, nB - (idxB + 3 * k) - _BIG)
+    sr1, sr2, sr3, sr4, spos = jax.lax.sort(
+        (r1, r2, r3, r4, idxB), num_keys=4, dimension=1)
+    st = _starts((sr1, sr2, sr3, sr4))
+    newr = _rank_from_sorted(st, idxB)
+    run_end = jnp.pad(st[:, 1:], ((0, 0), (0, 1)), constant_values=True)
+    keep = (~(st & run_end)) & (spos < nB)
+    cnt = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    ISA2 = _invert(newr, spos, nB, B, N)
+    ck, cr1, cw = jax.lax.sort(
+        ((~keep).astype(jnp.int32), newr, spos), num_keys=1, dimension=1)
+    cr1 = jnp.where(ck == 0, cr1, _INF)
+    cw = jnp.where(ck == 0, cw, N)
+    return ISA2, cnt, cr1, cw
+
+
+def _tail_body(ISA, r1, wpos, k, cnt, ns):
+    """One x4 pass over the compacted tie set at capacity C."""
+    B, N = ISA.shape
+    C = r1.shape[1]
+    laneC = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+    rows = _rows(B)
+    nB = ns[:, None]
+    dead = wpos >= nB
+
+    def look(off):
+        j = wpos + off
+        v = jnp.take_along_axis(ISA, jnp.where(j < nB, j, 0), axis=1)
+        return jnp.where(j < nB, v, nB - j - _BIG)
+
+    r2 = jnp.where(dead, laneC - _BIG, look(k))
+    r3 = jnp.where(dead, laneC - _BIG, look(2 * k))
+    r4 = jnp.where(dead, laneC - _BIG, look(3 * k))
+    sr1, sr2, sr3, sr4, sw = jax.lax.sort(
+        (r1, r2, r3, r4, wpos), num_keys=4, dimension=1)
+    st = _starts((sr1, sr2, sr3, sr4))
+    # in-class offset: rank = class base (sr1) + slot within class
+    g = jnp.pad(sr1[:, 1:] != sr1[:, :-1], ((0, 0), (1, 0)),
+                constant_values=True)
+    grp = jax.lax.cummax(jnp.where(g, laneC, 0), axis=1)
+    run = jax.lax.cummax(jnp.where(st, laneC, 0), axis=1)
+    newr = sr1 + (run - grp)
+    run_end = jnp.pad(st[:, 1:], ((0, 0), (0, 1)), constant_values=True)
+    keep = (~(st & run_end)) & (sw < nB)
+    cnt = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    ISA = ISA.at[rows, jnp.where(sw < nB, sw, N)].set(newr, mode="drop")
+    ck, nr1, nw = jax.lax.sort(
+        ((~keep).astype(jnp.int32), newr, sw), num_keys=1, dimension=1)
+    nr1 = jnp.where(ck == 0, nr1, _INF)
+    nw = jnp.where(ck == 0, nw, N)
+    return ISA, nr1, nw, k * 4, cnt
+
+
+_MIN_CAP = 4096
+
+
+@jax.jit
+def tail_level(ISA, r1, wpos, k, cnt, ns):
+    """x4 passes at one static capacity until resolved or shrinkable."""
+    C = r1.shape[1]
+    floor = C <= _MIN_CAP
+
+    def cond(carry):
+        _, _, _, _, cnt = carry
+        m = jnp.max(cnt)
+        shrinkable = jnp.bool_(True) if floor else (m > C // 2)
+        return shrinkable & (m > 0)
+
+    def body(carry):
+        ISA, r1, wpos, k, cnt = carry
+        return _tail_body(ISA, r1, wpos, k, cnt, ns)
+
+    return jax.lax.while_loop(cond, body, (ISA, r1, wpos, k, cnt))
+
+
+def _pow2cap(x: int, N: int) -> int:
+    c = _MIN_CAP
+    while c < x:
+        c *= 2
+    return min(c, N)
+
+
+class Bwt2Task:
+    """Resumable device BWT of one (B, N) batch of Lyndon conjugates.
+
+    Interface mirrors ops.bwt.SparseBwtTask: drive with ready()/step()
+    round-robin across tasks so per-dispatch tunnel latency hides
+    behind other batches' kernels; result() blocks.
+
+    blocks_np: pre-rotated rows; ns: true lengths; ms: rotation offsets
+    (from native.lyndon_prep).  Rows must be primitive (m >= 0).
+    """
+
+    # switch to compact-tail passes when max unresolved < N / _TAIL_DIV
+    _TAIL_DIV = 8
+
+    def __init__(self, blocks_np, ns, ms):
+        B, N = blocks_np.shape
+        self.N = N
+        self.maxn = int(np.max(ns))
+        self.blocks = jax.device_put(np.ascontiguousarray(blocks_np))
+        self.ns = jax.device_put(np.asarray(ns, np.int32))
+        self.ms = jax.device_put(np.asarray(ms, np.int32))
+        self.ISA, self.cnt = seed8(self.blocks, self.ns)
+        self.k = 8
+        self.tail = None  # (r1, wpos) once compacted
+        self.out = None
+        self.done = False
+
+    def ready(self) -> bool:
+        probe = self.out if self.out is not None else self.cnt
+        try:
+            return probe.is_ready()
+        except AttributeError:
+            return True
+
+    def step(self) -> bool:
+        if self.done:
+            return True
+        if self.out is not None:
+            self.done = True
+            return True
+        m = int(np.max(np.asarray(self.cnt)))
+        if m == 0:
+            self.out = emit2(self.blocks, self.ISA, self.ns, self.ms)
+            for a in self.out:  # start the d2h copy behind other work
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        elif self.tail is not None:
+            r1, wpos = self.tail
+            cap = _pow2cap(m, self.N)
+            self.ISA, r1, wpos, k, self.cnt = tail_level(
+                self.ISA, r1[:, :cap], wpos[:, :cap],
+                jnp.int32(self.k), self.cnt, self.ns)
+            self.k = int(np.asarray(k))
+            self.tail = (r1, wpos)
+        elif m < self.N // self._TAIL_DIV and self.k < self.maxn:
+            self.ISA, self.cnt, r1, wpos = compact(
+                self.ISA, jnp.int32(self.k), self.ns)
+            self.k *= 4
+            self.tail = (r1, wpos)
+        else:
+            self.ISA, self.cnt = pass4(self.ISA, jnp.int32(self.k),
+                                       self.ns)
+            self.k *= 4
+        return False
+
+    def result(self):
+        """(bwt_packed int32 (B, N//4) np, primary (B,) np)."""
+        while not self.done:
+            self.step()
+        packed, primary = self.out
+        return np.asarray(packed), np.asarray(primary)
+
+
+def bwt2_batch(blocks_np, ns, ms):
+    """Synchronous wrapper: (bwt (B,N) uint8, primary (B,))."""
+    t = Bwt2Task(np.asarray(blocks_np), ns, ms)
+    packed, primary = t.result()
+    return packed.view(np.uint8).reshape(packed.shape[0], -1), primary
