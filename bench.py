@@ -102,6 +102,15 @@ def main():
         except Exception:  # noqa: BLE001 — tunnel failures mid-bench
             dev_mbps = None
 
+    # Decompress leg (north-star covers both directions): parallel
+    # speculative decode of the stream we just produced.
+    from lbzip2_tpu.parallel.decode import decompress_parallel
+    t0 = time.time()
+    rt = decompress_parallel(out)
+    dec_dt = time.time() - t0
+    assert rt == data, "decompress round-trip failed"
+    dec_mbps = len(data) / dec_dt / 1e6
+
     if dev_mbps is not None and dev_mbps >= host_mbps:
         metric, mbps = "compress_MBps_per_chip_end_to_end_level9", dev_mbps
     elif dev_mbps is not None:
@@ -117,6 +126,7 @@ def main():
         "vs_baseline": round(mbps / PER_CHIP_TARGET_MBPS, 4),
         "host_MBps": round(host_mbps, 2),
         "device_MBps": round(dev_mbps, 2) if dev_mbps else None,
+        "decompress_MBps": round(dec_mbps, 2),
     }))
 
 

@@ -1,29 +1,31 @@
-"""Production compressor: host RLE1/Lyndon prep -> device suffix-sort
-BWT -> host entropy.
+"""Production compressor: hybrid device + host work pool.
 
 Stage map vs the reference pipeline (src/compress.c tasks):
   collect   -> rle1 block split + least-rotation prep (native C)
-  encode    -> ops.bwt2 gather-free suffix doubling (device)
-               + MTF/RLE2/EM/Huffman (native C, ~100 MB/s/core)
+  encode    -> ops.bwt2 gather-free suffix doubling (device) and/or
+               host SA-IS BWT, + MTF/RLE2/EM/Huffman (native C)
   transmit  -> native bit packer
   reorder   -> in-order assembly + combined CRC fold
 
-Scheduling: blocks are grouped into fixed-shape (B, N) batches, each
-driven by a resumable Bwt2Task.  Tasks are stepped round-robin —
-whichever task's unresolved-count fetch has landed gets its next device
-program dispatched — so the tunnel round-trips of one batch hide behind
-the kernels of the others (the lbzip2 work-pool overlap,
-src/process.c:436-462, reborn as device-queue pipelining).  Finished
-BWTs stream through a host thread pool running the C entropy stage
-concurrently.  Fully-periodic blocks (no Lyndon conjugate) take the
-host BWT directly — their tie order is a host-side convention.
+Scheduling is the lbzip2 work pool (src/process.c:436-462) over
+heterogeneous engines: a device engine groups blocks into fixed-shape
+(B, N) batches driven by resumable Bwt2Tasks, stepping several batches
+round-robin so the tunnel round-trips of one batch hide behind the
+kernels of the others, while host workers run the C entropy stage for
+finished device BWTs and — whenever the device is saturated and no
+entropy work is queued — steal whole blocks from the tail of the queue
+for host-side BWT.  The device takes blocks from the head, the host
+from the tail; they meet in the middle, so each engine contributes its
+full throughput.  Fully-periodic blocks (no Lyndon conjugate) always
+take the host path — their tie order is a host-side convention.
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -38,12 +40,15 @@ from lbzip2_tpu.ref.mtf import make_cmap
 # covers MAX_BLOCK_SIZE with ~0.1% padding).
 _BUCKETS = (8192, 65536, 262144, 901120)
 
-# Device-batch rows per bucket-size dispatch: every device call has
-# shape (rows, bucket) so each bucket compiles exactly once; short
+# Device-batch rows per dispatch: one compiled shape per bucket; short
 # batches are padded with copies of row 0.  Large batches amortize the
-# per-dispatch tunnel latency and keep the sort lanes full (a (64, N)
-# sort costs ~3.1 ms/row vs ~10 ms/row at (4, N)).
-_BATCH = int(os.environ.get("LBZ2_DEVICE_BATCH", "16"))
+# per-dispatch tunnel latency and keep the sort lanes full.
+_BATCH = int(os.environ.get("LBZ2_DEVICE_BATCH", "32"))
+
+# Batches kept in flight on the device queue simultaneously.
+_INFLIGHT = int(os.environ.get("LBZ2_DEVICE_INFLIGHT", "3"))
+
+_DEVICE = os.environ.get("LBZ2_DEVICE", "1") != "0"
 
 
 def _bucket_for(n: int) -> int:
@@ -73,16 +78,205 @@ def _entropy_payload(buf, span, bwt_row, bwt_idx, cluster_factor):
     return payload, crc_stored
 
 
+def _host_block(buf, span, cluster_factor):
+    if native.native_available():
+        brow, bidx = native.bwt(span.data)
+    else:
+        from lbzip2_tpu.ref.bwt import bwt as py_bwt
+        brow, bidx = py_bwt(span.data)
+    return _entropy_payload(buf, span, brow, bidx, cluster_factor)
+
+
+class _WorkPool:
+    """Hybrid scheduler: device head-consumer + host tail-stealers."""
+
+    def __init__(self, buf, blocks, cluster_factor, host_workers,
+                 use_device):
+        self.buf = buf
+        self.blocks = blocks
+        self.cf = cluster_factor
+        self.results: dict[int, tuple[bytes, int]] = {}
+        self.res_lock = threading.Lock()
+        self.res_cv = threading.Condition(self.res_lock)
+        self.error: BaseException | None = None
+        # shared deque of block ids: device pops head, host pops tail
+        self.ids = list(range(len(blocks)))
+        self.head = 0
+        self.tail = len(blocks)
+        self.q_lock = threading.Lock()
+        self.entropy_q: queue.Queue = queue.Queue()
+        self.device_done = not use_device
+        self.host_workers = host_workers
+        self.use_device = use_device
+
+    # --- queue primitives -------------------------------------------------
+    def take_head(self, k: int) -> list[int]:
+        with self.q_lock:
+            got = self.ids[self.head:min(self.head + k, self.tail)]
+            self.head += len(got)
+            return got
+
+    def take_tail(self) -> int | None:
+        with self.q_lock:
+            if self.tail <= self.head:
+                return None
+            self.tail -= 1
+            return self.ids[self.tail]
+
+    def put_result(self, i, payload_crc):
+        with self.res_cv:
+            self.results[i] = payload_crc
+            self.res_cv.notify_all()
+
+    def fail(self, exc):
+        with self.res_cv:
+            if self.error is None:
+                self.error = exc
+            self.res_cv.notify_all()
+
+    # --- device engine ----------------------------------------------------
+    def device_loop(self):
+        try:
+            from lbzip2_tpu.ops.bwt2 import Bwt2Task
+            tasks = []  # (ids, spans, task)
+            while True:
+                while len(tasks) < _INFLIGHT:
+                    ids = self.take_head(_BATCH)
+                    if not ids:
+                        break
+                    item = self._make_task(ids, Bwt2Task)
+                    if item is not None:
+                        tasks.append(item)
+                if not tasks:
+                    break
+                progressed = False
+                for item in list(tasks):
+                    ids, spans, task = item
+                    if not task.ready():
+                        continue
+                    progressed = True
+                    if task.step():
+                        packed, primary = task.result()
+                        rows = packed.view(np.uint8).reshape(
+                            packed.shape[0], -1)
+                        for row, (i, span) in enumerate(zip(ids, spans)):
+                            self.entropy_q.put(
+                                (i, span, rows[row], int(primary[row])))
+                        tasks.remove(item)
+                if not progressed:
+                    time.sleep(0.002)
+        except BaseException as e:  # noqa: BLE001
+            self.fail(e)
+        finally:
+            self.device_done = True
+            self.entropy_q.put(None)  # sticky wake-up sentinel
+
+    def _make_task(self, ids, Bwt2Task):
+        """Lyndon-prep ids into one padded batch; periodic blocks are
+        encoded host-side immediately."""
+        rows = []
+        for i in ids:
+            span = self.blocks[i]
+            r, m = native.lyndon_prep(span.data)
+            if m < 0:
+                self.entropy_q.put((i, span, None, -1))  # host BWT
+            else:
+                rows.append((i, span, r, m))
+        if not rows:
+            return None
+        bucket = max(_bucket_for(r.size) for _, _, r, _ in rows)
+        batch = np.zeros((_BATCH, bucket), np.uint8)
+        ns = np.empty(_BATCH, np.int32)
+        ms = np.empty(_BATCH, np.int32)
+        for row, (i, span, r, m) in enumerate(rows):
+            batch[row, :r.size] = r
+            ns[row] = r.size
+            ms[row] = m
+        for row in range(len(rows), _BATCH):
+            batch[row] = batch[0]
+            ns[row] = ns[0]
+            ms[row] = ms[0]
+        return ([i for i, _, _, _ in rows],
+                [span for _, span, _, _ in rows],
+                Bwt2Task(batch, ns, ms))
+
+    # --- host workers -----------------------------------------------------
+    def host_loop(self):
+        try:
+            while True:
+                # entropy work (keeps the device pipeline draining) first
+                try:
+                    item = self.entropy_q.get(block=False)
+                except queue.Empty:
+                    item = None
+                else:
+                    if item is None:  # sticky sentinel: leave for others
+                        self.entropy_q.put(None)
+                        return
+                if item is not None:
+                    self._do_entropy(item)
+                    continue
+                # steal a whole block from the tail
+                i = self.take_tail()
+                if i is not None:
+                    self.put_result(i, _host_block(
+                        self.buf, self.blocks[i], self.cf))
+                    continue
+                if self.device_done and self.entropy_q.empty():
+                    return
+                # queue drained but device still running: wait for work
+                item = self.entropy_q.get()
+                if item is not None:
+                    self._do_entropy(item)
+                else:  # sticky sentinel: leave for others
+                    self.entropy_q.put(None)
+                    return
+        except BaseException as e:  # noqa: BLE001
+            self.fail(e)
+
+    def _do_entropy(self, item):
+        i, span, bwt_row, bidx = item
+        if bwt_row is None:  # periodic block: full host encode
+            self.put_result(i, _host_block(self.buf, span, self.cf))
+        else:
+            self.put_result(i, _entropy_payload(
+                self.buf, span, bwt_row, bidx, self.cf))
+
+    # --- driver -----------------------------------------------------------
+    def run(self):
+        threads = []
+        if self.use_device:
+            t = threading.Thread(target=self.device_loop,
+                                 name="lbz2-device", daemon=True)
+            t.start()
+            threads.append(t)
+        for w in range(self.host_workers):
+            t = threading.Thread(target=self.host_loop,
+                                 name=f"lbz2-host{w}", daemon=True)
+            t.start()
+            threads.append(t)
+        for i in range(len(self.blocks)):
+            with self.res_cv:
+                while i not in self.results and self.error is None:
+                    self.res_cv.wait()
+                if self.error is not None:
+                    raise self.error
+            yield self.results.pop(i)
+        for t in threads:
+            t.join()
+        if self.error is not None:
+            raise self.error
+
+
 def compress(data: bytes | np.ndarray, level: int = 9,
              cluster_factor: int = CLUSTER_FACTOR,
              sequential_split: bool = False,
-             entropy_workers: int = 2) -> bytes:
-    """Compress into a .bz2 stream using the device BWT kernels.
+             entropy_workers: int | None = None,
+             use_device: bool | None = None) -> bytes:
+    """Compress into a .bz2 stream using the hybrid device+host pool.
 
     Bit-identical to ref.encoder.compress (and the reference binary).
     """
-    from lbzip2_tpu.ops.bwt2 import Bwt2Task
-
     assert 1 <= level <= 9
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.ascontiguousarray(
@@ -90,82 +284,18 @@ def compress(data: bytes | np.ndarray, level: int = 9,
     mbs = level * 100000
 
     blocks = rle1.rle1_blocks(buf, mbs, None if sequential_split else -1)
+    if entropy_workers is None:
+        entropy_workers = max(2, os.cpu_count() or 2)
+    if use_device is None:
+        use_device = _DEVICE and native.native_available()
 
-    payloads_fut: dict[int, object] = {}
-
-    with ThreadPoolExecutor(max_workers=entropy_workers) as pool:
-        # Lyndon prep + bucket grouping; periodic rows -> host BWT.
-        by_bucket: dict[int, list[tuple[int, np.ndarray, int]]] = {}
-        for i, span in enumerate(blocks):
-            if native.native_available():
-                r, m = native.lyndon_prep(span.data)
-            else:
-                m = -1
-                r = None
-            if m < 0:
-                def host_encode(i=i, span=span):
-                    from lbzip2_tpu.ref.bwt import bwt as py_bwt
-                    if native.native_available():
-                        brow, bidx = native.bwt(span.data)
-                    else:
-                        brow, bidx = py_bwt(span.data)
-                    return _entropy_payload(buf, span, brow, bidx,
-                                            cluster_factor)
-                payloads_fut[i] = pool.submit(host_encode)
-            else:
-                by_bucket.setdefault(_bucket_for(span.data.size),
-                                     []).append((i, r, m))
-
-        tasks: list[tuple[list[int], Bwt2Task]] = []
-        for bucket, items in by_bucket.items():
-            for c0 in range(0, len(items), _BATCH):
-                chunk = items[c0:c0 + _BATCH]
-                batch = np.zeros((_BATCH, bucket), dtype=np.uint8)
-                ns = np.empty(_BATCH, dtype=np.int32)
-                ms = np.empty(_BATCH, dtype=np.int32)
-                for row, (i, r, m) in enumerate(chunk):
-                    batch[row, :r.size] = r
-                    ns[row] = r.size
-                    ms[row] = m
-                for row in range(len(chunk), _BATCH):
-                    # pad rows replay row 0 (resolve identically; keeps
-                    # one compiled shape per bucket)
-                    batch[row] = batch[0]
-                    ns[row] = ns[0]
-                    ms[row] = ms[0]
-                tasks.append(([i for i, _, _ in chunk],
-                              Bwt2Task(batch, ns, ms)))
-
-        def submit(chunk_ids, packed, primary):
-            rows = packed.view(np.uint8).reshape(packed.shape[0], -1)
-            for row, i in enumerate(chunk_ids):
-                payloads_fut[i] = pool.submit(
-                    _entropy_payload, buf, blocks[i], rows[row],
-                    primary[row], cluster_factor)
-
-        # Round-robin: step whichever task has its count ready; the
-        # device keeps executing the others' queued programs meanwhile.
-        pending = list(tasks)
-        while pending:
-            progressed = False
-            for item in list(pending):
-                chunk_ids, task = item
-                if not task.ready():
-                    continue
-                progressed = True
-                if task.step():
-                    packed, primary = task.result()
-                    submit(chunk_ids, packed, primary)
-                    pending.remove(item)
-            if pending and not progressed:
-                time.sleep(0.002)
-
-        parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
-        combined = 0
-        for i in range(len(blocks)):
-            payload, crc_stored = payloads_fut[i].result()
-            parts.append(payload)
-            combined = crc32.combine_crc(combined, crc_stored)
+    pool = _WorkPool(buf, blocks, cluster_factor, entropy_workers,
+                     use_device)
+    parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
+    combined = 0
+    for payload, crc_stored in pool.run():
+        parts.append(payload)
+        combined = crc32.combine_crc(combined, crc_stored)
 
     trailer = bytes([0x17, 0x72, 0x45, 0x38, 0x50, 0x90]) + \
         combined.to_bytes(4, "big")

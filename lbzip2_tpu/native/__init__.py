@@ -79,6 +79,17 @@ def get_lib():
         lib.lbz2_bwt.restype = ctypes.c_long
         lib.lbz2_bwt.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.lbz2_ibwt_links.restype = ctypes.c_long
+        lib.lbz2_ibwt_links.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p]
+        lib.lbz2_emit_init.restype = None
+        lib.lbz2_emit_init.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.lbz2_emit_chunk.restype = ctypes.c_long
+        lib.lbz2_emit_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+        lib.lbz2_emit_done.restype = ctypes.c_int
+        lib.lbz2_emit_done.argtypes = [ctypes.c_void_p, ctypes.c_long]
         lib.lbz2_lyndon_prep.restype = ctypes.c_long
         lib.lbz2_lyndon_prep.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
@@ -199,6 +210,55 @@ def bwt(block: np.ndarray) -> tuple[np.ndarray, int]:
                        out.ctypes.data_as(ctypes.c_void_p))
     assert idx >= 0
     return out, int(idx)
+
+
+class _EmitState(ctypes.Structure):
+    _fields_ = [("k", ctypes.c_long), ("cur", ctypes.c_long),
+                ("rand_i", ctypes.c_long), ("rand_j", ctypes.c_long),
+                ("pending", ctypes.c_long), ("run", ctypes.c_int),
+                ("last", ctypes.c_int), ("crc", ctypes.c_uint32)]
+
+
+class EmitCursor:
+    """Resumable IBWT+RLE1 emitter over one decoded block.
+
+    Mirrors the reference's suspendable emit (decode.c:944-1144): call
+    next_chunk(cap) repeatedly; None signals completion.  crc is valid
+    once done.  Raises ValueError on a truncated final run."""
+
+    def __init__(self, bwt: np.ndarray, idx: int, rand_flag: int):
+        self._lib = get_lib()
+        self._bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+        self._n = self._bwt.size
+        self._ptr = np.empty(self._n, np.int32)
+        start = self._lib.lbz2_ibwt_links(
+            self._bwt.ctypes.data_as(ctypes.c_void_p), self._n, idx,
+            self._ptr.ctypes.data_as(ctypes.c_void_p))
+        if start < 0:
+            raise ValueError("bad BWT index")
+        self._st = _EmitState()
+        self._lib.lbz2_emit_init(ctypes.byref(self._st), start)
+        self._rand = rand_flag
+        self.done = False
+
+    def next_chunk(self, cap: int) -> bytes | None:
+        if self.done:
+            return None
+        out = np.empty(cap, np.uint8)
+        r = self._lib.lbz2_emit_chunk(
+            self._bwt.ctypes.data_as(ctypes.c_void_p), self._n,
+            self._ptr.ctypes.data_as(ctypes.c_void_p), self._rand,
+            ctypes.byref(self._st), out.ctypes.data_as(ctypes.c_void_p),
+            cap)
+        if r == -2:
+            raise ValueError("missing run length")
+        if self._lib.lbz2_emit_done(ctypes.byref(self._st), self._n):
+            self.done = True
+        return out[:r].tobytes()
+
+    @property
+    def crc(self) -> int:
+        return (int(self._st.crc) ^ 0xFFFFFFFF) & 0xFFFFFFFF
 
 
 def lyndon_prep(block: np.ndarray, out: np.ndarray | None = None

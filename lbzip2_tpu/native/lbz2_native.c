@@ -451,6 +451,120 @@ static const uint16_t rand_table[512] = {
   510,357,358,850,858,364,936,638
 };
 
+/* --- resumable emit (the reference's decode.c:944-1144 analogue) ---
+ *
+ * lbz2_ibwt_links builds the IBWT successor table once; lbz2_emit_chunk
+ * then expands RLE1 into caller-sized buffers, suspending with full
+ * state whenever the buffer fills, so decoders can bound output memory
+ * with a fixed slot pool (reference src/expand.c:31-52 policy). */
+
+typedef struct {
+  long k;        /* BWT chars consumed (of n) */
+  long cur;      /* current successor pointer */
+  long rand_i;   /* derandomization table index */
+  long rand_j;   /* next derandomization position */
+  long pending;  /* run bytes still to emit (buffer-full suspend) */
+  int run;       /* consecutive equal literals seen (0..4) */
+  int last;      /* previous literal */
+  uint32_t crc;  /* CRC register */
+} lbz2_emit_state;
+
+/* Build the successor table; returns the start pointer ptr[idx], or -3
+ * if idx is out of range. */
+long lbz2_ibwt_links(const uint8_t *bwt, long n, long idx,
+                     int32_t *ptr_out) {
+  if (idx < 0 || idx >= n) return -3;
+  crc_init();
+  long cnt[256];
+  memset(cnt, 0, sizeof(cnt));
+  for (long i = 0; i < n; i++) cnt[bwt[i]]++;
+  long cum = 0;
+  long base[256];
+  for (int c = 0; c < 256; c++) { base[c] = cum; cum += cnt[c]; }
+  for (long i = 0; i < n; i++) ptr_out[base[bwt[i]]++] = (int32_t)i;
+  return ptr_out[idx];
+}
+
+void lbz2_emit_init(lbz2_emit_state *st, long start_ptr) {
+  st->k = 0;
+  st->cur = start_ptr;
+  st->rand_i = 0;
+  st->rand_j = 617;
+  st->pending = 0;
+  st->run = 0;
+  st->last = -1;
+  st->crc = 0xFFFFFFFFu;
+}
+
+/* Emit up to out_cap bytes; returns bytes written (resume while
+ * lbz2_emit_done says no), or -2 on missing run length at stream end. */
+long lbz2_emit_chunk(const uint8_t *bwt, long n, const int32_t *ptr,
+                     int rand_flag, lbz2_emit_state *st, uint8_t *out,
+                     long out_cap) {
+  long op = 0;
+  uint32_t crc = st->crc;
+  int run = st->run, last = st->last;
+  long cur = st->cur, k = st->k;
+  long rand_i = st->rand_i, rand_j = st->rand_j;
+
+  if (st->pending > 0) {
+    while (st->pending > 0 && op < out_cap) {
+      out[op++] = (uint8_t)last;
+      crc = (crc << 8) ^ crc_tab[0][((crc >> 24) ^ last) & 0xFF];
+      st->pending--;
+    }
+    if (st->pending > 0) goto suspend;
+    run = 0;
+    last = -1; /* a completed long run never chains */
+  }
+
+  while (k < n) {
+    if (op >= out_cap) goto suspend;
+    uint32_t ch = bwt[cur];
+    cur = ptr[cur];
+    k++;
+    if (rand_flag && k - 1 == rand_j) {
+      ch ^= 1;
+      rand_i = (rand_i + 1) & 0x1FF;
+      rand_j += rand_table[rand_i];
+    }
+    if (run == 4) {
+      long extra = ch;
+      long now = extra < out_cap - op ? extra : out_cap - op;
+      for (long q = 0; q < now; q++) {
+        out[op++] = (uint8_t)last;
+        crc = (crc << 8) ^ crc_tab[0][((crc >> 24) ^ last) & 0xFF];
+      }
+      if (now < extra) {
+        st->pending = extra - now;
+        run = 0;
+        goto suspend;
+      }
+      run = 0;
+      last = -1;
+      continue;
+    }
+    if ((int)ch == last) run++; else { run = 1; last = (int)ch; }
+    out[op++] = (uint8_t)ch;
+    crc = (crc << 8) ^ crc_tab[0][((crc >> 24) ^ ch) & 0xFF];
+  }
+  if (run == 4) return -2; /* missing run length */
+
+suspend:
+  st->crc = crc;
+  st->run = run;
+  st->last = last;
+  st->cur = cur;
+  st->k = k;
+  st->rand_i = rand_i;
+  st->rand_j = rand_j;
+  return op;
+}
+
+int lbz2_emit_done(const lbz2_emit_state *st, long n) {
+  return st->k >= n && st->pending == 0;
+}
+
 /* IBWT + optional derandomization + RLE1 expansion + CRC.
  * ptr_scratch: caller-provided int32[n].
  * Returns output length, or -1 if out_cap exceeded, -2 on missing run

@@ -63,27 +63,136 @@ def scan_magic_bits(data: np.ndarray, magic: int = BLOCK_MAGIC
 
 
 
-def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int):
+OUT_GRANUL = 900000
+EMIT_THRESH = 2  # speculative emit keeps this many slots free
+
+
+class SlotPool:
+    """Bounded output-buffer accounting with next-in-order reservation.
+
+    The reference's anti-deadlock memory policy (src/expand.c:31-52):
+    speculative emitters may only take a slot while more than
+    EMIT_THRESH remain, so the in-order (authoritative) consumer always
+    finds a free slot and the pipeline cannot wedge no matter how many
+    speculative blocks are suspended mid-emit."""
+
+    def __init__(self, slots: int):
+        import threading
+        self.free = slots
+        self.total = slots
+        self.peak = 0
+        self._cv = threading.Condition()
+
+    def try_acquire(self, in_order: bool = False) -> bool:
+        with self._cv:
+            ok = self.free > EMIT_THRESH or (in_order and self.free > 0)
+            if ok:
+                self.free -= 1
+                self.peak = max(self.peak, self.total - self.free)
+            return ok
+
+    def acquire_in_order(self) -> None:
+        with self._cv:
+            while self.free <= 0:
+                self._cv.wait()
+            self.free -= 1
+            self.peak = max(self.peak, self.total - self.free)
+
+    def release(self, k: int = 1) -> None:
+        with self._cv:
+            self.free += k
+            self._cv.notify_all()
+
+
+def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
+                      pool: SlotPool | None = None):
     """Speculatively retrieve + IBWT a block whose payload starts at
-    payload_pos (just past magic+CRC).  Returns dict or None."""
+    payload_pos (just past magic+CRC).
+
+    With a SlotPool, RLE1 expansion emits into OUT_GRANUL-sized slot
+    buffers and suspends (returning the live cursor) when the pool runs
+    low — the parser finishes it in order with reserved slots."""
     err, newpos, bwt, idx, rnd = native.retrieve_block(
         arr, nbits, payload_pos)
     if err != 0:
         return {"err": err}
+    if pool is None:
+        try:
+            plain, crcreg = native.ibwt_emit(bwt, idx, rnd)
+        except ValueError:
+            return {"err": Error.ERR_RUNLEN.value}
+        return {"err": 0, "end": newpos, "chunks": [plain.tobytes()],
+                "cursor": None,
+                "crc": (crcreg ^ 0xFFFFFFFF) & 0xFFFFFFFF,
+                "size": int(bwt.size)}
     try:
-        plain, crcreg = native.ibwt_emit(bwt, idx, rnd)
+        cur = native.EmitCursor(bwt, idx, rnd)
     except ValueError:
         return {"err": Error.ERR_RUNLEN.value}
-    return {"err": 0, "end": newpos, "plain": plain,
-            "crc": (crcreg ^ 0xFFFFFFFF) & 0xFFFFFFFF,
-            "size": int(bwt.size)}
+    chunks: list[bytes] = []
+    while not cur.done:
+        if not pool.try_acquire():
+            return {"err": 0, "end": newpos, "chunks": chunks,
+                    "cursor": cur, "size": int(bwt.size)}
+        try:
+            chunks.append(cur.next_chunk(OUT_GRANUL))
+        except ValueError:
+            pool.release(len(chunks) + 1)
+            return {"err": Error.ERR_RUNLEN.value}
+    return {"err": 0, "end": newpos, "chunks": chunks, "cursor": None,
+            "crc": cur.crc, "size": int(bwt.size)}
+
+
+def _finish_in_order(res: dict, pool: SlotPool | None, sink) -> None:
+    """Drain a confirmed block's chunks (and cursor tail) into sink,
+    releasing slots as they are consumed."""
+    for c in res["chunks"]:
+        sink(c)
+        if pool is not None:
+            pool.release()
+    res["chunks"] = []
+    cur = res.get("cursor")
+    if cur is not None:
+        try:
+            while not cur.done:
+                if pool is not None:
+                    pool.acquire_in_order()
+                c = cur.next_chunk(OUT_GRANUL)
+                sink(c)
+                if pool is not None:
+                    pool.release()
+        except ValueError:
+            raise StreamError(Error.ERR_RUNLEN)
+        res["crc"] = cur.crc
+        res["cursor"] = None
+
+
+def _cancel_candidate(res_or_fut, pool: SlotPool | None) -> None:
+    """Release every slot a stale speculative result still holds."""
+    if pool is None:
+        return
+    try:
+        res = res_or_fut.result() if hasattr(res_or_fut, "result") \
+            else res_or_fut
+    except Exception:  # noqa: BLE001 — dead speculative job holds nothing
+        return
+    if res and res.get("err") == 0:
+        pool.release(len(res["chunks"]))
+        res["chunks"] = []
 
 
 _ERR_BY_VALUE = {e.value: e for e in Error}
 
 
-def decompress_parallel(data: bytes, n_workers: int | None = None) -> bytes:
-    """Parallel decode; semantics identical to the sequential decoder."""
+def decompress_parallel(data: bytes, n_workers: int | None = None,
+                        out_slots: int | None = None) -> bytes:
+    """Parallel decode; semantics identical to the sequential decoder.
+
+    Speculative emission is bounded by a SlotPool of out_slots
+    OUT_GRANUL buffers (default 16 per worker, the reference's
+    decompress budget, src/process.c:636) with the next-in-order
+    reservation, so a zip-bomb block cannot blow up resident memory
+    beyond the pool no matter how many candidates decode it early."""
     if native.get_lib() is None:
         from lbzip2_tpu.ref.decoder import decompress as ref_dec
         return ref_dec(data)
@@ -94,20 +203,30 @@ def decompress_parallel(data: bytes, n_workers: int | None = None) -> bytes:
     nbits = arr.size * 8
     if n_workers is None:
         n_workers = min(32, os.cpu_count() or 1)
+    spool = SlotPool(out_slots or 16 * n_workers)
 
-    candidates = scan_magic_bits(arr)
-    results: dict[int, dict] = {}
+    candidates = [int(p) for p in scan_magic_bits(arr)]
+    out_parts: list[bytes] = []
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        futs = {int(p): pool.submit(_decode_candidate, arr, nbits,
-                                    int(p) + 80)
-                for p in candidates}
+        futs: dict[int, object] = {}
+        next_cand = 0
+
+        def refill(parser_pos):
+            nonlocal next_cand
+            # windowed speculation: bounded futures ahead of the parser
+            while next_cand < len(candidates) and \
+                    len(futs) < 4 * n_workers:
+                p = candidates[next_cand]
+                next_cand += 1
+                if p >= parser_pos:
+                    futs[p] = pool.submit(_decode_candidate, arr, nbits,
+                                          p + 80, spool)
 
         # Sequential parser walk, consuming speculative results.
         pos = 24
         level = _read_bits(arr, pos, 8) - 0x30
         pos += 8
         combined = 0
-        out_parts: list[bytes] = []
         while True:
             try:
                 magic = _read_bits(arr, pos, 48)
@@ -118,20 +237,21 @@ def decompress_parallel(data: bytes, n_workers: int | None = None) -> bytes:
                     crc_stored = _read_bits(arr, pos + 48, 32)
                 except EOFError:
                     raise StreamError(Error.ERR_EOF)
+                refill(pos)
                 fut = futs.pop(pos, None)
                 res = fut.result() if fut is not None else \
-                    _decode_candidate(arr, nbits, pos + 80)
+                    _decode_candidate(arr, nbits, pos + 80, spool)
                 # discard false-positive candidates the parser passed
                 for stale in [p for p in futs if p <= pos]:
-                    futs.pop(stale).cancel()
+                    _cancel_candidate(futs.pop(stale), spool)
                 if res["err"] != 0:
                     raise StreamError(_ERR_BY_VALUE.get(
                         res["err"], Error.ERR_HEADER))
                 if res["size"] > level * 100000:
                     raise StreamError(Error.ERR_OVERFLOW)
+                _finish_in_order(res, spool, out_parts.append)
                 if res["crc"] != crc_stored:
                     raise StreamError(Error.ERR_BLKCRC)
-                out_parts.append(res["plain"].tobytes())
                 combined = crc32.combine_crc(combined, crc_stored)
                 pos = res["end"]
                 continue
@@ -211,16 +331,24 @@ class _StreamBuf:
 
 
 def decompress_stream(read_chunk, write, n_workers: int | None = None,
-                      chunk_size: int = 4 << 20) -> tuple[int, int]:
-    """Streaming decode with bounded input memory.
+                      chunk_size: int = 4 << 20,
+                      out_slots: int | None = None,
+                      _pool_out: list | None = None) -> tuple[int, int]:
+    """Streaming decode with bounded input AND output memory.
 
     read_chunk(n) -> bytes supplies input; write(bytes) consumes output.
     Returns (bytes_in, bytes_out).  Semantics identical to
     decompress_parallel; blocks whose payload crosses the current window
     are retried after extending it (the resumable-coroutine analogue).
+    Output-side memory is bounded by a SlotPool (16 slots/worker, last
+    one reserved for the in-order block) — a 26-byte zip bomb expanding
+    to 47 MB streams through the fixed pool instead of materializing.
     """
     if n_workers is None:
         n_workers = min(32, os.cpu_count() or 1)
+    spool = SlotPool(out_slots or 16 * n_workers)
+    if _pool_out is not None:
+        _pool_out.append(spool)  # test hook: expose peak accounting
     sb = _StreamBuf(read_chunk, chunk_size)
     if not sb.ensure_bits(0, 32):
         raise StreamError(Error.ERR_MAGIC)
@@ -235,13 +363,21 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
     def decode_at(p: int, speculative: bool = False):
         """Decode the block whose magic is at absolute bit p.
 
-        The parser-confirmed call extends the window until the payload
-        fits; speculative candidates decode only within the current
-        snapshot (a false positive must not drag the file in) and
-        report ERR_EOF, which the parser retries non-speculatively."""
+        The parser-confirmed call first extends the window to the
+        worst-case payload bound (<= 20 bits/symbol + metadata) so the
+        block decodes in a single pass no matter how small the input
+        chunks arrive — the window-level analogue of the reference's
+        resumable retrieve (src/decode.c:387-407).  Speculative
+        candidates decode only within the current snapshot (a false
+        positive must not drag the file in) and report ERR_EOF, which
+        the parser retries non-speculatively."""
+        if not speculative:
+            payload_bound = (level * 100000 * 20) // 8 + 65536
+            sb.ensure_bits(p + 80, payload_bound * 8)  # stops at EOF
         while True:
             arr, base = sb.snapshot()
-            res = _decode_candidate(arr, arr.size * 8, p + 80 - base * 8)
+            res = _decode_candidate(arr, arr.size * 8,
+                                    p + 80 - base * 8, spool)
             if res["err"] == Error.ERR_EOF.value and not speculative \
                     and sb.extend():
                 continue
@@ -284,16 +420,21 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
                         res["err"], Error.ERR_HEADER))
                 if res["size"] > level * 100000:
                     raise StreamError(Error.ERR_OVERFLOW)
+                nw = [0]
+
+                def sink(c, nw=nw):
+                    write(c)
+                    nw[0] += len(c)
+                _finish_in_order(res, spool, sink)
                 if res["crc"] != crc_stored:
                     raise StreamError(Error.ERR_BLKCRC)
-                write(res["plain"].tobytes())
-                total_out += res["plain"].size
+                total_out += nw[0]
                 combined = crc32.combine_crc(combined, crc_stored)
                 pos = res["end"]
                 # discard superseded/false-positive candidates, then
                 # drop consumed input behind the earliest live future
                 for stale in [p for p in pending if p <= pos]:
-                    pending.pop(stale).cancel()
+                    _cancel_candidate(pending.pop(stale), spool)
                 horizon = min(pending, default=pos)
                 sb.drop_before(min(pos, horizon))
                 continue
