@@ -283,7 +283,13 @@ def compress(data: bytes | np.ndarray, level: int = 9,
             data, dtype=np.uint8)
     mbs = level * 100000
 
-    blocks = rle1.rle1_blocks(buf, mbs, None if sequential_split else -1)
+    if native.native_available():
+        blocks = [rle1.BlockSpan(a, b, blk, cmap) for a, b, blk, cmap in
+                  native.rle1_collect(buf, mbs,
+                                      None if sequential_split else mbs)]
+    else:
+        blocks = rle1.rle1_blocks(buf, mbs,
+                                  None if sequential_split else -1)
     if entropy_workers is None:
         entropy_workers = max(2, os.cpu_count() or 2)
     if use_device is None:

@@ -78,8 +78,7 @@ def _unresolved(starts, spos, nB):
     return jnp.sum((~singleton) & (spos < nB), axis=1, dtype=jnp.int32)
 
 
-@jax.jit
-def seed8(blocks: jnp.ndarray, ns: jnp.ndarray):
+def _seed8(blocks: jnp.ndarray, ns: jnp.ndarray):
     """Initial ISA from the 8-byte suffix prefix (k = 8 afterwards).
 
     blocks: (B, N) uint8 Lyndon conjugates; ns: (B,) row lengths.
@@ -115,8 +114,7 @@ def _extend(ISA, idxB, nB, N):
     return jnp.concatenate([body, tail], axis=1)
 
 
-@jax.jit
-def pass4(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
+def _pass4(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
     """One x4 doubling pass: sort by ranks at offsets (0, k, 2k, 3k).
 
     Returns (ISA', cnt) with rank distance advanced to 4k.
@@ -145,9 +143,8 @@ def pass4(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
     return _invert(newr, spos, nB, B, N), cnt
 
 
-@jax.jit
-def emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
-          ms: jnp.ndarray):
+def _emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
+           ms: jnp.ndarray):
     """BWT bytes (int32-packed rows) + primary index per row.
 
     ms: (B,) least-rotation offsets of the original blocks; the primary
@@ -168,6 +165,35 @@ def emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
     i0 = jnp.where(ms[:, None] == 0, 0, ns[:, None] - ms[:, None])
     primary = jnp.take_along_axis(ISA, i0, axis=1)[:, 0]
     return packed, primary
+
+
+seed8 = jax.jit(_seed8)
+pass4 = jax.jit(_pass4)
+emit2 = jax.jit(_emit2)
+
+
+@jax.jit
+def bwt2_full(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
+    """Whole BWT in one program: seed + while_loop of x4 passes + emit.
+
+    The one-dispatch variant used under shard_map for multi-chip block
+    parallelism (each shard loops independently until its ties
+    resolve); the host-stepped Bwt2Task below is preferred on a single
+    chip where adaptive capacity shrinking pays.
+    """
+    ISA, cnt = _seed8(blocks, ns)
+
+    def cond(c):
+        _, _, cnt = c
+        return jnp.max(cnt) > 0
+
+    def body(c):
+        ISA, k, _ = c
+        ISA, cnt = _pass4(ISA, k, ns)
+        return ISA, k * 4, cnt
+
+    ISA, _, _ = jax.lax.while_loop(cond, body, (ISA, jnp.int32(8), cnt))
+    return _emit2(blocks, ISA, ns, ms)
 
 
 # ---------------------------------------------------------------------------

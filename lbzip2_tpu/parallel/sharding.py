@@ -63,6 +63,48 @@ def sharded_encode_step(mesh: Mesh, axis: str = "blocks"):
     return jax.jit(step)
 
 
+def sharded_encode_step_v2(mesh: Mesh, axis: str = "blocks"):
+    """Sharded production BWT (ops.bwt2 suffix doubling): blocks, row
+    lengths, and least-rotation offsets shard along B; each device
+    loops its own shard to convergence (no collectives in the compute
+    path).  Returns (int32-packed BWT rows, primary indices)."""
+    from lbzip2_tpu.ops.bwt2 import bwt2_full
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False)
+    def step(blocks, ns, ms):
+        return bwt2_full(blocks, ns, ms)
+
+    return jax.jit(step)
+
+
+def encode_batch_sharded_v2(blocks: np.ndarray, ns: np.ndarray,
+                            ms: np.ndarray, mesh: Mesh | None = None):
+    """Sharded v2 BWT; returns ((B, N) uint8 BWT rows, primary) on host."""
+    if mesh is None:
+        mesh = make_mesh()
+    naxis = mesh.devices.size
+    B = blocks.shape[0]
+    padB = (-B) % naxis
+    if padB:
+        blocks = np.concatenate(
+            [blocks, np.tile(blocks[:1], (padB, 1))])
+        ns = np.concatenate([ns, np.repeat(ns[:1], padB)])
+        ms = np.concatenate([ms, np.repeat(ms[:1], padB)])
+    step = sharded_encode_step_v2(mesh)
+    packed, primary = step(
+        jax.device_put(blocks, NamedSharding(mesh, P("blocks", None))),
+        jax.device_put(np.asarray(ns, np.int32),
+                       NamedSharding(mesh, P("blocks"))),
+        jax.device_put(np.asarray(ms, np.int32),
+                       NamedSharding(mesh, P("blocks"))))
+    out = np.asarray(packed).view(np.uint8).reshape(packed.shape[0], -1)
+    return out[:B], np.asarray(primary)[:B]
+
+
 def sharded_decode_step(mesh: Mesh, axis: str = "blocks"):
     """Sharded batched inverse-BWT: the device half of the expansion
     pipeline (retrieve stays host/native; IBWT list-ranking on chips)."""
