@@ -36,9 +36,14 @@ from lbzip2_tpu.ref import rle1
 from lbzip2_tpu.ref.encoder import encode_block_payload
 from lbzip2_tpu.ref.mtf import make_cmap
 
-# Static shape buckets (multiples of 8 for the seed slices; the largest
-# covers MAX_BLOCK_SIZE with ~0.1% padding).
-_BUCKETS = (8192, 65536, 262144, 901120)
+# Static device shape buckets.  Every (rows, bucket) pair is a separate
+# ~45 s remote compile with no cross-process cache, so the surface is
+# kept minimal: one production bucket (covers MAX_BLOCK_SIZE with ~0.1%
+# padding) and one tiny bucket so CPU-backend tests exercise the device
+# path cheaply.  Mid-size blocks (level < 9, stream tails) go to the
+# host engine, which handles them at full speed anyway.
+_BUCKETS = (8192, 901120)
+_MID_CUTOFF = 262144  # blocks in (8192, _MID_CUTOFF] -> host engine
 
 # Device-batch rows per dispatch: one compiled shape per bucket; short
 # batches are padded with copies of row 0.  Large batches amortize the
@@ -50,11 +55,18 @@ _INFLIGHT = int(os.environ.get("LBZ2_DEVICE_INFLIGHT", "3"))
 
 _DEVICE = os.environ.get("LBZ2_DEVICE", "1") != "0"
 
+# Diagnostic: disable host tail-stealing (device-only block encode).
+_HOST_STEAL = os.environ.get("LBZ2_HOST_STEAL", "1") != "0"
 
-def _bucket_for(n: int) -> int:
-    for b in _BUCKETS:
-        if n <= b:
-            return b
+
+def _bucket_for(n: int) -> int | None:
+    """Device bucket for a block of n bytes; None -> host engine."""
+    if n <= _BUCKETS[0]:
+        return _BUCKETS[0]
+    if n <= _MID_CUTOFF:
+        return None
+    if n <= _BUCKETS[-1]:
+        return _BUCKETS[-1]
     raise ValueError(f"block too large: {n}")
 
 
@@ -108,10 +120,18 @@ class _WorkPool:
         self.device_done = not use_device
         self.host_workers = host_workers
         self.use_device = use_device
+        self.stats = {"device_blocks": 0, "host_blocks": 0,
+                      "periodic_blocks": 0}
 
     # --- queue primitives -------------------------------------------------
     def take_head(self, k: int) -> list[int]:
+        """Device claim: full batches while the queue is deep, batches
+        of 8 near the end, at most half the remainder — so host
+        tail-stealing always keeps its share of a short queue."""
         with self.q_lock:
+            remaining = self.tail - self.head
+            if remaining < 2 * k:
+                k = 8 if remaining >= 16 else max(1, remaining // 2)
             got = self.ids[self.head:min(self.head + k, self.tail)]
             self.head += len(got)
             return got
@@ -136,40 +156,52 @@ class _WorkPool:
 
     # --- device engine ----------------------------------------------------
     def device_loop(self):
+        from concurrent.futures import ThreadPoolExecutor
         try:
             from lbzip2_tpu.ops.bwt2 import Bwt2Task
             tasks = []  # (ids, spans, task)
-            while True:
-                while len(tasks) < _INFLIGHT:
-                    ids = self.take_head(_BATCH)
-                    if not ids:
+            # result() blocks on the device->host copy (~1 s per batch
+            # over the tunnel); fetch on the side so stepping of other
+            # batches overlaps the wire.
+            with ThreadPoolExecutor(max_workers=2,
+                                    thread_name_prefix="lbz2-fetch"
+                                    ) as fetcher:
+                fetches = []
+                while True:
+                    while len(tasks) < _INFLIGHT:
+                        ids = self.take_head(_BATCH)
+                        if not ids:
+                            break
+                        item = self._make_task(ids, Bwt2Task)
+                        if item is not None:
+                            tasks.append(item)
+                    if not tasks:
                         break
-                    item = self._make_task(ids, Bwt2Task)
-                    if item is not None:
-                        tasks.append(item)
-                if not tasks:
-                    break
-                progressed = False
-                for item in list(tasks):
-                    ids, spans, task = item
-                    if not task.ready():
-                        continue
-                    progressed = True
-                    if task.step():
-                        packed, primary = task.result()
-                        rows = packed.view(np.uint8).reshape(
-                            packed.shape[0], -1)
-                        for row, (i, span) in enumerate(zip(ids, spans)):
-                            self.entropy_q.put(
-                                (i, span, rows[row], int(primary[row])))
-                        tasks.remove(item)
-                if not progressed:
-                    time.sleep(0.002)
+                    progressed = False
+                    for item in list(tasks):
+                        ids, spans, task = item
+                        if not task.ready():
+                            continue
+                        progressed = True
+                        if task.step():
+                            fetches.append(fetcher.submit(
+                                self._fetch_task, ids, spans, task))
+                            tasks.remove(item)
+                    if not progressed:
+                        time.sleep(0.002)
+                for f in fetches:
+                    f.result()  # propagate fetch errors
         except BaseException as e:  # noqa: BLE001
             self.fail(e)
         finally:
             self.device_done = True
             self.entropy_q.put(None)  # sticky wake-up sentinel
+
+    def _fetch_task(self, ids, spans, task):
+        rows, primary = task.result()
+        for row, (i, span) in enumerate(zip(ids, spans)):
+            self.entropy_q.put((i, span, rows[row], int(primary[row])))
+        self.stats["device_blocks"] += len(ids)
 
     def _make_task(self, ids, Bwt2Task):
         """Lyndon-prep ids into one padded batch; periodic blocks are
@@ -177,6 +209,10 @@ class _WorkPool:
         rows = []
         for i in ids:
             span = self.blocks[i]
+            bucket_i = _bucket_for(span.data.size)
+            if bucket_i is None:
+                self.entropy_q.put((i, span, None, -1))  # host BWT
+                continue
             r, m = native.lyndon_prep(span.data)
             if m < 0:
                 self.entropy_q.put((i, span, None, -1))  # host BWT
@@ -185,14 +221,17 @@ class _WorkPool:
         if not rows:
             return None
         bucket = max(_bucket_for(r.size) for _, _, r, _ in rows)
-        batch = np.zeros((_BATCH, bucket), np.uint8)
-        ns = np.empty(_BATCH, np.int32)
-        ms = np.empty(_BATCH, np.int32)
+        # two compiled row counts only (each shape ~45 s to compile)
+        nrows = 8 if len(rows) <= 8 else _BATCH
+        batch = np.zeros((nrows, bucket), np.uint8)
+        ns = np.empty(nrows, np.int32)
+        ms = np.empty(nrows, np.int32)
         for row, (i, span, r, m) in enumerate(rows):
             batch[row, :r.size] = r
             ns[row] = r.size
             ms[row] = m
-        for row in range(len(rows), _BATCH):
+        for row in range(len(rows), nrows):
+            # pad rows replay row 0 (resolve identically)
             batch[row] = batch[0]
             ns[row] = ns[0]
             ms[row] = ms[0]
@@ -217,8 +256,9 @@ class _WorkPool:
                     self._do_entropy(item)
                     continue
                 # steal a whole block from the tail
-                i = self.take_tail()
+                i = None if not _HOST_STEAL else self.take_tail()
                 if i is not None:
+                    self.stats["host_blocks"] += 1
                     self.put_result(i, _host_block(
                         self.buf, self.blocks[i], self.cf))
                     continue
@@ -297,6 +337,8 @@ def compress(data: bytes | np.ndarray, level: int = 9,
 
     pool = _WorkPool(buf, blocks, cluster_factor, entropy_workers,
                      use_device)
+    global last_stats
+    last_stats = pool.stats  # telemetry: engine split of the last call
     parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
     combined = 0
     for payload, crc_stored in pool.run():

@@ -145,7 +145,15 @@ def _pass4(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
 
 def _emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
            ms: jnp.ndarray):
-    """BWT bytes (int32-packed rows) + primary index per row.
+    """BWT output for download + primary index per row.
+
+    Returns (tokens (B, TOK//2) int32, raw (B, N//4) int32,
+    run_counts (B,), primary (B,)).  BWT strings are run-heavy (that is
+    their purpose), and the tunnel moves ~35 MB/s serialized, so the
+    preferred download is byte+length run tokens (u16 pairs, runs split
+    at 255): ~0.35x the raw bytes on text.  The raw int32-packed rows
+    are also materialized on device; the host fetches whichever the
+    run counts say fits (tokens overflow on near-incompressible rows).
 
     ms: (B,) least-rotation offsets of the original blocks; the primary
     index is the rank of original rotation 0 = ISA[(n - m) mod n].
@@ -160,11 +168,31 @@ def _emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
     _, sbwt = jax.lax.sort((key, prev.astype(jnp.int32)), num_keys=1,
                            dimension=1)
     out = sbwt.astype(jnp.uint8)
-    packed = jax.lax.bitcast_convert_type(
+    raw = jax.lax.bitcast_convert_type(
         out.reshape(B, N // 4, 4), jnp.int32)
+
+    # run tokens: starts at byte changes, plus synthetic splits so no
+    # run exceeds 255 (token length field is 8 bits)
+    valid = idxB < nB
+    start = valid & jnp.pad(sbwt[:, 1:] != sbwt[:, :-1],
+                            ((0, 0), (1, 0)), constant_values=True)
+    runstart = jax.lax.cummax(jnp.where(start, idxB, 0), axis=1)
+    start = start | (valid & ((idxB - runstart) % 255 == 0) &
+                     (idxB != runstart))
+    run_counts = jnp.sum(start, axis=1, dtype=jnp.int32)
+    ck = jnp.where(start, idxB, _INF)
+    spos, sbyte = jax.lax.sort((ck, sbwt), num_keys=1, dimension=1)
+    nxt = jnp.concatenate([spos[:, 1:], jnp.full((B, 1), _INF)], axis=1)
+    length = jnp.where(nxt >= _INF, nB - spos, nxt - spos)
+    length = jnp.clip(length, 0, 255)  # dead lanes -> 0
+    tok = (sbyte.astype(jnp.uint16) << 8) | length.astype(jnp.uint16)
+    TOK = N // 4  # token capacity: mean run >= 4 fits
+    tokens = jax.lax.bitcast_convert_type(
+        tok[:, :TOK].reshape(B, TOK // 2, 2), jnp.int32)
+
     i0 = jnp.where(ms[:, None] == 0, 0, ns[:, None] - ms[:, None])
     primary = jnp.take_along_axis(ISA, i0, axis=1)[:, 0]
-    return packed, primary
+    return tokens, raw, run_counts, primary
 
 
 seed8 = jax.jit(_seed8)
@@ -193,7 +221,10 @@ def bwt2_full(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
         return ISA, k * 4, cnt
 
     ISA, _, _ = jax.lax.while_loop(cond, body, (ISA, jnp.int32(8), cnt))
-    return _emit2(blocks, ISA, ns, ms)
+    # multi-chip path: raw packed rows (tokens are a tunnel-download
+    # optimization; XLA dead-code-eliminates them here)
+    _, raw, _, primary = _emit2(blocks, ISA, ns, ms)
+    return raw, primary
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +364,7 @@ class Bwt2Task:
         self.done = False
 
     def ready(self) -> bool:
-        probe = self.out if self.out is not None else self.cnt
+        probe = self.out[0] if self.out is not None else self.cnt
         try:
             return probe.is_ready()
         except AttributeError:
@@ -348,40 +379,57 @@ class Bwt2Task:
         m = int(np.max(np.asarray(self.cnt)))
         if m == 0:
             self.out = emit2(self.blocks, self.ISA, self.ns, self.ms)
-            for a in self.out:  # start the d2h copy behind other work
+            # start the cheap d2h copies now; the fetch thread picks
+            # tokens vs raw once the run counts land
+            for a in (self.out[2], self.out[3]):
                 try:
                     a.copy_to_host_async()
                 except AttributeError:
                     pass
-        elif self.tail is not None:
-            r1, wpos = self.tail
-            cap = _pow2cap(m, self.N)
-            self.ISA, r1, wpos, k, self.cnt = tail_level(
-                self.ISA, r1[:, :cap], wpos[:, :cap],
-                jnp.int32(self.k), self.cnt, self.ns)
-            self.k = int(np.asarray(k))
-            self.tail = (r1, wpos)
-        elif m < self.N // self._TAIL_DIV and self.k < self.maxn:
-            self.ISA, self.cnt, r1, wpos = compact(
-                self.ISA, jnp.int32(self.k), self.ns)
-            self.k *= 4
-            self.tail = (r1, wpos)
         else:
+            # Full-width passes only: the compact-tail variant saves a
+            # little compute but compiles one program per capacity,
+            # which the remote-compile tunnel turns into minutes of
+            # warmup; three programs per bucket (seed/pass/emit) keep
+            # the compile surface flat.
             self.ISA, self.cnt = pass4(self.ISA, jnp.int32(self.k),
                                        self.ns)
             self.k *= 4
         return False
 
     def result(self):
-        """(bwt_packed int32 (B, N//4) np, primary (B,) np)."""
+        """(rows, primary): rows is a list of per-row uint8 BWT arrays.
+
+        Downloads run tokens (~0.35x bytes on text) when every row fits
+        the token capacity, else the raw packed rows."""
         while not self.done:
             self.step()
-        packed, primary = self.out
-        return np.asarray(packed), np.asarray(primary)
+        tokens, raw, run_counts, primary = self.out
+        counts = np.asarray(run_counts)
+        ns = np.asarray(self.ns)
+        cap = tokens.shape[1] * 2
+        rows = []
+        if int(counts.max()) <= cap:
+            tok = np.asarray(tokens).view(np.uint16).reshape(
+                counts.shape[0], -1)
+            for b in range(counts.shape[0]):
+                t = tok[b, :counts[b]]
+                rows.append(np.repeat((t >> 8).astype(np.uint8),
+                                      t & 0xFF)[:ns[b]])
+        else:
+            rb = np.asarray(raw).view(np.uint8).reshape(
+                counts.shape[0], -1)
+            for b in range(counts.shape[0]):
+                rows.append(rb[b, :ns[b]])
+        return rows, np.asarray(primary)
 
 
 def bwt2_batch(blocks_np, ns, ms):
     """Synchronous wrapper: (bwt (B,N) uint8, primary (B,))."""
     t = Bwt2Task(np.asarray(blocks_np), ns, ms)
-    packed, primary = t.result()
-    return packed.view(np.uint8).reshape(packed.shape[0], -1), primary
+    rows, primary = t.result()
+    N = np.asarray(blocks_np).shape[1]
+    out = np.zeros((len(rows), N), np.uint8)
+    for b, r in enumerate(rows):
+        out[b, :r.size] = r
+    return out, primary

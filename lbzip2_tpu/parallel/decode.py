@@ -105,7 +105,8 @@ class SlotPool:
 
 
 def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
-                      pool: SlotPool | None = None):
+                      pool: SlotPool | None = None,
+                      batcher: "_DeviceIbwtBatcher | None" = None):
     """Speculatively retrieve + IBWT a block whose payload starts at
     payload_pos (just past magic+CRC).
 
@@ -116,6 +117,19 @@ def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
         arr, nbits, payload_pos)
     if err != 0:
         return {"err": err}
+    if batcher is not None and not rnd:
+        # device IBWT (batched Wyllie list ranking), host RLE1+CRC
+        if not (0 <= idx < bwt.size):
+            return {"err": Error.ERR_RUNLEN.value}
+        rle_domain = batcher.run(bwt, int(idx))
+        from lbzip2_tpu.ref.rle1 import rle1_decode
+        plain, ok = rle1_decode(rle_domain)
+        if not ok:
+            return {"err": Error.ERR_RUNLEN.value}
+        crc = (native.crc32_block(plain) ^ 0xFFFFFFFF) & 0xFFFFFFFF
+        return {"err": 0, "end": newpos, "chunks": [plain.tobytes()],
+                "cursor": None, "crc": crc, "size": int(bwt.size),
+                "pooled": False}
     if pool is None:
         try:
             plain, crcreg = native.ibwt_emit(bwt, idx, rnd)
@@ -124,7 +138,7 @@ def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
         return {"err": 0, "end": newpos, "chunks": [plain.tobytes()],
                 "cursor": None,
                 "crc": (crcreg ^ 0xFFFFFFFF) & 0xFFFFFFFF,
-                "size": int(bwt.size)}
+                "size": int(bwt.size), "pooled": False}
     try:
         cur = native.EmitCursor(bwt, idx, rnd)
     except ValueError:
@@ -133,22 +147,24 @@ def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
     while not cur.done:
         if not pool.try_acquire():
             return {"err": 0, "end": newpos, "chunks": chunks,
-                    "cursor": cur, "size": int(bwt.size)}
+                    "cursor": cur, "size": int(bwt.size),
+                    "pooled": True}
         try:
             chunks.append(cur.next_chunk(OUT_GRANUL))
         except ValueError:
             pool.release(len(chunks) + 1)
             return {"err": Error.ERR_RUNLEN.value}
     return {"err": 0, "end": newpos, "chunks": chunks, "cursor": None,
-            "crc": cur.crc, "size": int(bwt.size)}
+            "crc": cur.crc, "size": int(bwt.size), "pooled": True}
 
 
 def _finish_in_order(res: dict, pool: SlotPool | None, sink) -> None:
     """Drain a confirmed block's chunks (and cursor tail) into sink,
     releasing slots as they are consumed."""
+    pooled = res.get("pooled", False)
     for c in res["chunks"]:
         sink(c)
-        if pool is not None:
+        if pool is not None and pooled:
             pool.release()
     res["chunks"] = []
     cur = res.get("cursor")
@@ -176,16 +192,76 @@ def _cancel_candidate(res_or_fut, pool: SlotPool | None) -> None:
             else res_or_fut
     except Exception:  # noqa: BLE001 — dead speculative job holds nothing
         return
-    if res and res.get("err") == 0:
+    if res and res.get("err") == 0 and res.get("pooled", False):
         pool.release(len(res["chunks"]))
         res["chunks"] = []
 
 
 _ERR_BY_VALUE = {e.value: e for e in Error}
 
+# Device IBWT (Wyllie pointer doubling) for the decode path.  Opt-in:
+# on the current chip generation the kernel is gather-bound (~log2(n)
+# full-array gathers per block), so the host C chase wins on wall
+# clock; the wiring exists, is tested, and flips on for hardware with
+# fast gathers.
+DEVICE_IBWT = os.environ.get("LBZ2_DEVICE_DECODE", "0") == "1"
+_IBWT_N = 901120  # padded device row (covers MAX_BLOCK_SIZE)
+
+
+class _DeviceIbwtBatcher:
+    """Groups concurrent IBWT requests into padded device batches.
+
+    Workers block in run(); a linger window lets parallel speculative
+    decoders coalesce into one (B, N) dispatch of the batched device
+    kernel (ops/ibwt.py), mirroring the encoder's batch scheduling.
+    """
+
+    def __init__(self, max_batch: int = 8, linger_s: float = 0.005):
+        import threading
+        self.max_batch = max_batch
+        self.linger_s = linger_s
+        self._lock = threading.Lock()
+        self._items: list = []  # (bwt, idx, event, result_cell)
+
+    def run(self, bwt: np.ndarray, idx: int) -> np.ndarray:
+        import threading
+        ev = threading.Event()
+        cell = [None]
+        with self._lock:
+            self._items.append((bwt, idx, ev, cell))
+            flush_now = len(self._items) >= self.max_batch
+        if flush_now:
+            self._flush()
+        elif not ev.wait(self.linger_s):
+            self._flush()
+        ev.wait()
+        return cell[0]
+
+    def _flush(self) -> None:
+        with self._lock:
+            items, self._items = self._items, []
+        if not items:
+            return
+        from lbzip2_tpu.ops.ibwt import ibwt_masked
+        import jax
+        rows = self.max_batch  # fixed shape: one compile
+        batch = np.zeros((rows, _IBWT_N), np.uint8)
+        ns = np.ones(rows, np.int32)
+        idxs = np.zeros(rows, np.int32)
+        for r, (bwt, idx, _, _) in enumerate(items):
+            batch[r, :bwt.size] = bwt
+            ns[r] = bwt.size
+            idxs[r] = idx
+        out = jax.vmap(ibwt_masked)(batch, ns, idxs)
+        out = np.asarray(out)
+        for r, (bwt, _, ev, cell) in enumerate(items):
+            cell[0] = out[r, :bwt.size]
+            ev.set()
+
 
 def decompress_parallel(data: bytes, n_workers: int | None = None,
-                        out_slots: int | None = None) -> bytes:
+                        out_slots: int | None = None,
+                        device_ibwt: bool | None = None) -> bytes:
     """Parallel decode; semantics identical to the sequential decoder.
 
     Speculative emission is bounded by a SlotPool of out_slots
@@ -204,6 +280,8 @@ def decompress_parallel(data: bytes, n_workers: int | None = None,
     if n_workers is None:
         n_workers = min(32, os.cpu_count() or 1)
     spool = SlotPool(out_slots or 16 * n_workers)
+    batcher = _DeviceIbwtBatcher() if (device_ibwt if device_ibwt
+              is not None else DEVICE_IBWT) else None
 
     candidates = [int(p) for p in scan_magic_bits(arr)]
     out_parts: list[bytes] = []
@@ -220,7 +298,7 @@ def decompress_parallel(data: bytes, n_workers: int | None = None,
                 next_cand += 1
                 if p >= parser_pos:
                     futs[p] = pool.submit(_decode_candidate, arr, nbits,
-                                          p + 80, spool)
+                                          p + 80, spool, batcher)
 
         # Sequential parser walk, consuming speculative results.
         pos = 24
@@ -240,7 +318,8 @@ def decompress_parallel(data: bytes, n_workers: int | None = None,
                 refill(pos)
                 fut = futs.pop(pos, None)
                 res = fut.result() if fut is not None else \
-                    _decode_candidate(arr, nbits, pos + 80, spool)
+                    _decode_candidate(arr, nbits, pos + 80, spool,
+                                      batcher)
                 # discard false-positive candidates the parser passed
                 for stale in [p for p in futs if p <= pos]:
                     _cancel_candidate(futs.pop(stale), spool)

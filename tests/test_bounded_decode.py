@@ -94,3 +94,22 @@ def test_streaming_single_pass_decode(monkeypatch):
     # one authoritative retrieve (speculative candidates may add a
     # couple, but no per-chunk re-decode: far fewer than #chunks)
     assert calls[0] <= 3, calls[0]
+
+
+def test_device_ibwt_decode_mode():
+    """Opt-in device-IBWT decode path: identical output + verdicts."""
+    rng = np.random.default_rng(3)
+    data = (rng.integers(0, 8, 400000, np.uint8).tobytes() +
+            b"run" * 50000)
+    blob = bz2.compress(data, 2)
+    out = D.decompress_parallel(blob, n_workers=4, device_ibwt=True)
+    assert out == data
+    # bad stream still rejected through the device path
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0xFF
+    try:
+        D.decompress_parallel(bytes(bad), n_workers=2, device_ibwt=True)
+        rejected = False
+    except Exception:
+        rejected = True
+    assert rejected

@@ -87,9 +87,8 @@ def test_bwt2_task_stepping():
     while not t.step():
         steps += 1
         assert steps < 64
-    packed, primary = t.result()
-    out = packed.view(np.uint8).reshape(len(blocks), -1)
+    rows, primary = t.result()
     for i, b in enumerate(blocks):
         exp_bwt, exp_idx = ref_bwt(b)
-        np.testing.assert_array_equal(out[i, :b.size], exp_bwt)
+        np.testing.assert_array_equal(rows[i][:b.size], exp_bwt)
         assert int(primary[i]) == exp_idx

@@ -54,7 +54,7 @@ for rep in range(REPS):
         print(f"[rep{rep}] {kind:7s} k={k0:7d} -> cnt={m:7d} "
               f"{time.time()-tp:.3f}s", flush=True)
     tp = time.time()
-    packed, primary = t.result()
+    rows_out, primary = t.result()
     tf = time.time()
     tot = int(ns.sum())
     print(f"[rep{rep}] fetch {tf-tp:.3f}s  TOTAL {tf-t00:.3f}s "
