@@ -138,13 +138,10 @@ class CompressScheduler:
                 trace("source: queued window %d", seq)
                 seq += 1
                 inflight += 1
-            # drain in order
+            # drain in order (event-driven: workers notify on completion)
             with self.done_lock:
-                while next_write not in self.done and \
-                        (inflight > 0):
-                    self.done_lock.wait(0.1)
-                    if next_write not in self.done:
-                        continue
+                while next_write not in self.done and inflight > 0:
+                    self.done_lock.wait()
                 if next_write in self.done:
                     res = self.done.pop(next_write)
                 else:
