@@ -2,73 +2,78 @@
 
 Completes the on-device encode chain after ops.mtf: zero runs become
 bijective base-2 RUNA/RUNB digits, nonzero rank r becomes symbol r+1,
-EOB terminates.  Static output shape (same N as input + 1 slot margin),
-true length returned separately.
+EOB terminates (reference src/encode.c:361-425 RUN()/MTF() macros).
+
+Formulation: every input position computes locally whether it emits an
+output cell — the j-th zero of a run of length k emits digit j of k+1
+iff j < floor(log2(k+1)), a nonzero rank always emits — and a single
+stable sort compacts kept cells to the front in position order.  No
+scatters (this chip's scatters cost ~7 ms/row at 901120 lanes; the
+previous formulation needed 21 of them per row, the sort costs one).
+Run extents come from two cumulative maxima (forward: run start;
+backward: next nonzero).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
+_INF = jnp.int32(2 ** 31 - 1)
 
-@functools.partial(jax.jit, static_argnames=())
-def rle2_from_ranks(ranks: jnp.ndarray, n: jnp.ndarray,
-                    ninuse: jnp.ndarray):
-    """ranks: (N,) int32 (entries >= n ignored); returns (mtfv (N+64,)
-    int32 padded with EOB value, nm int32)."""
-    N = ranks.shape[0]
-    pos = jnp.arange(N, dtype=jnp.int32)
-    valid = pos < n
+
+def _rle2_batch(ranks: jnp.ndarray, ns: jnp.ndarray, ninuse: jnp.ndarray):
+    """ranks: (B, N) int32 MTF ranks (entries >= n ignored); ns: (B,)
+    row lengths; ninuse: (B,) used-byte counts (EOB = ninuse + 1).
+
+    Returns (mtfv (B, N+1) int32 compacted to the front (0 beyond nm),
+    nm (B,) true MTF-value counts including EOB).
+    """
+    B, N = ranks.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    nB = jnp.asarray(ns, jnp.int32)[:, None]
+    valid = pos < nB
     r = jnp.where(valid, ranks, 0)
     nz = valid & (r > 0)
 
-    # Zero-run length ending just before each position: count of
-    # consecutive zeros immediately before pos. run_before[i] =
-    # i - 1 - (last nz position before i).
-    last_nz = jax.lax.cummax(jnp.where(nz, pos, -1))
-    # exclusive version: last nz strictly before i
-    last_nz_excl = jnp.concatenate([jnp.full(1, -1, jnp.int32),
-                                    last_nz[:-1]])
-    run_before = pos - 1 - last_nz_excl
+    # run start: 1 + last nonzero position strictly before i
+    last_nz_incl = jax.lax.cummax(jnp.where(nz, pos, -1), axis=1)
+    last_nz_excl = jnp.pad(last_nz_incl[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=-1)
+    runstart = last_nz_excl + 1
+    # next nonzero position at or after i (n if none: tail run ends at n)
+    nxt = jnp.flip(jax.lax.cummax(
+        jnp.flip(jnp.where(nz, -pos, -_INF), axis=1), axis=1), axis=1)
+    next_nz = jnp.minimum(-nxt, nB)
 
-    # digits for a run k: m = floor(log2(k+1)); digit j = ((k+1)>>j)&1
-    def digits_count(k):
-        return 31 - jax.lax.clz((k + 1).astype(jnp.int32))
+    # zero-run cells: the j-th zero of a run of length k carries digit j
+    # of (k+1) (bijective base 2, top bit dropped), j < floor(log2(k+1))
+    k = next_nz - runstart
+    runpos = pos - runstart
+    m = 31 - jax.lax.clz(jnp.maximum(k, 0) + 1)
+    digit = ((k + 1) >> jnp.clip(runpos, 0, 30)) & 1
+    keep_zero = valid & (~nz) & (runpos < m)
+    keep = nz | keep_zero
+    value = jnp.where(nz, r + 1, digit)
 
-    m_before = jnp.where(nz, digits_count(run_before), 0)
-    # output cells per nonzero element: digits + the value itself
-    out_per = jnp.where(nz, m_before + 1, 0)
-    ends = jnp.cumsum(out_per)
-    total_nz_out = ends[-1] if N > 0 else 0
+    # EOB cell at position n (extra lane so n == N still fits)
+    pos_x = jnp.concatenate([jnp.where(keep, pos, _INF), nB], axis=1)
+    val_x = jnp.concatenate([jnp.where(keep, value, 0),
+                             ninuse[:, None] + 1], axis=1)
+    _, mtfv = jax.lax.sort((pos_x, val_x), num_keys=1, dimension=1)
+    nm = jnp.sum(keep, axis=1, dtype=jnp.int32) + 1
+    mtfv = jnp.where(
+        jnp.arange(N + 1, dtype=jnp.int32)[None] < nm[:, None], mtfv, 0)
+    return mtfv, nm
 
-    out = jnp.full(N + 64, 0, jnp.int32)
-    # place values at ends-1
-    val_pos = jnp.where(nz, ends - 1, N + 63)
-    out = out.at[val_pos].set(jnp.where(nz, r + 1, 0), mode="drop")
-    # place digits: for each position i with nz, digits j=0..m-1 at
-    # ends[i]-1-m+j ... emit via a masked loop over the max digit count
-    kplus1 = run_before + 1
-    maxm = 20  # runs < 2^20 <= MAX_BLOCK_SIZE
-    for j in range(maxm):
-        has = nz & (j < m_before)
-        pos_j = jnp.where(has, ends - 1 - m_before + j, N + 63)
-        bit = (kplus1 >> j) & 1
-        out = out.at[pos_j].set(jnp.where(has, bit, 0), mode="drop")
 
-    # trailing zero run after the last nonzero + EOB
-    last_total = jnp.max(jnp.where(nz, ends, 0))
-    tail_run = n - 1 - jnp.max(jnp.where(nz, pos, -1))
-    tail_m = jnp.where(tail_run > 0, digits_count(tail_run), 0)
-    tk = tail_run + 1
-    for j in range(maxm):
-        has = j < tail_m
-        pos_j = jnp.where(has, last_total + j, N + 63)
-        out = out.at[pos_j].set(jnp.where(has, (tk >> j) & 1, 0),
-                                mode="drop")
-    eob = ninuse + 1
-    nm = last_total + tail_m + 1
-    out = out.at[jnp.where(nm - 1 < N + 64, nm - 1, N + 63)].set(eob)
-    return out, nm
+rle2_batch = jax.jit(_rle2_batch)
+
+
+@jax.jit
+def rle2_from_ranks(ranks: jnp.ndarray, n: jnp.ndarray,
+                    ninuse: jnp.ndarray):
+    """Single-row wrapper: returns (mtfv (N+1,) int32, nm int32)."""
+    mtfv, nm = _rle2_batch(ranks[None, :], jnp.asarray(n, jnp.int32)[None],
+                           jnp.asarray(ninuse, jnp.int32)[None])
+    return mtfv[0], nm[0]
