@@ -98,6 +98,18 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.lbz2_em_mstep.restype = None
+        lib.lbz2_em_mstep.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p]
+        lib.lbz2_chain_finish.restype = ctypes.c_long
+        lib.lbz2_chain_finish.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -292,6 +304,72 @@ def encode_block(block: np.ndarray, cmap_bool: np.ndarray,
         out.ctypes.data_as(ctypes.c_void_p))
     assert ln > 0
     return out[:ln].tobytes()
+
+
+def em_mstep(freqs: np.ndarray, as_arr: np.ndarray, nt_arr: np.ndarray,
+             lengths: np.ndarray) -> None:
+    """Batch EM maximization step: per-tree Huffman refit, in place.
+
+    freqs: (B, 6, 259) uint32; as_arr/nt_arr: (B,) int32;
+    lengths: (B, 6, 259) uint8, updated for trees < nt per row."""
+    lib = get_lib()
+    assert freqs.dtype == np.uint32 and freqs.flags.c_contiguous
+    assert lengths.dtype == np.uint8 and lengths.flags.c_contiguous
+    lib.lbz2_em_mstep(
+        freqs.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(as_arr, np.int32).ctypes.data_as(
+            ctypes.c_void_p),
+        np.ascontiguousarray(nt_arr, np.int32).ctypes.data_as(
+            ctypes.c_void_p),
+        freqs.shape[0], lengths.ctypes.data_as(ctypes.c_void_p))
+
+
+_HDR_CAP = 24576  # > worst-case block header (~21.2 KB of bits)
+
+
+def chain_finish(selectors: np.ndarray, ngroups: np.ndarray,
+                 freqs: np.ndarray, as_arr: np.ndarray,
+                 nt_arr: np.ndarray, cmaps: np.ndarray,
+                 bwt_idx: np.ndarray, crcs: np.ndarray,
+                 lengths: np.ndarray):
+    """Batch final model + header build for the device chain.
+
+    selectors: (B, G) uint8 old-ids; lengths: (B, 6, 259) uint8 EM
+    state, replaced by the final lengths in place.  Returns
+    (codes (B, 6, 259) uint32, hdr (B, HDR_CAP) uint8,
+    hdr_bits (B,) int32, payload_bits (B,) int64)."""
+    lib = get_lib()
+    B, G = selectors.shape
+    assert selectors.dtype == np.uint8 and selectors.flags.c_contiguous
+    assert freqs.dtype == np.uint32 and freqs.flags.c_contiguous
+    assert lengths.dtype == np.uint8 and lengths.flags.c_contiguous
+    codes = np.zeros((B, 6, 259), np.uint32)
+    hdr = np.empty((B, _HDR_CAP), np.uint8)
+    hdr_bits = np.empty(B, np.int32)
+    payload_bits = np.empty(B, np.int64)
+    r = lib.lbz2_chain_finish(
+        selectors.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ngroups, np.int32).ctypes.data_as(
+            ctypes.c_void_p),
+        freqs.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(as_arr, np.int32).ctypes.data_as(
+            ctypes.c_void_p),
+        np.ascontiguousarray(nt_arr, np.int32).ctypes.data_as(
+            ctypes.c_void_p),
+        B, G,
+        np.ascontiguousarray(cmaps, np.uint8).ctypes.data_as(
+            ctypes.c_void_p),
+        np.ascontiguousarray(bwt_idx, np.int32).ctypes.data_as(
+            ctypes.c_void_p),
+        np.ascontiguousarray(crcs, np.uint32).ctypes.data_as(
+            ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        codes.ctypes.data_as(ctypes.c_void_p),
+        hdr.ctypes.data_as(ctypes.c_void_p), _HDR_CAP,
+        hdr_bits.ctypes.data_as(ctypes.c_void_p),
+        payload_bits.ctypes.data_as(ctypes.c_void_p))
+    assert r == 0, f"chain_finish header overflow on row {-r - 1}"
+    return codes, hdr, hdr_bits, payload_bits
 
 
 def ibwt_emit(bwt: np.ndarray, idx: int, rand_flag: int,

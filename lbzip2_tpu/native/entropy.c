@@ -310,3 +310,164 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
   /* stream is byte-aligned by construction */
   return w.pos;
 }
+
+/* ---------------- device-chain host halves ----------------
+ *
+ * The device chain (ops/chain.py) runs MTF+RLE2 and the EM E-steps on
+ * the TPU; these entry points are the tiny sequential pieces kept on
+ * the host: the per-tree Huffman refit between E-steps and the final
+ * model/header build (everything of lbz2_encode_payload_from_mtfv
+ * except the EM loop and the group-code transmit, which packs on
+ * device).  Spec: reference src/encode.c:714-766, 883-987, 1087-1281.
+ */
+
+void lbz2_em_mstep(const uint32_t *freqs /* B*6*(MAX_ALPHA+1) */,
+                   const int32_t *as, const int32_t *nt, long nb,
+                   uint8_t *lengths /* B*6*(MAX_ALPHA+1) in-out */) {
+  const long S = (long)MAX_TREES * (MAX_ALPHA + 1);
+  for (long b = 0; b < nb; b++)
+    for (int t = 0; t < nt[b]; t++)
+      make_code_lengths2(lengths + b * S + (long)t * (MAX_ALPHA + 1),
+                         freqs + b * S + (long)t * (MAX_ALPHA + 1),
+                         as[b]);
+}
+
+/* Final model + full block header for one batch.
+ * selectors: (nb, gcap) old-tree-id per group (first ngroups valid);
+ * freqs: (nb, 6, 259) from the last E-step; lengths: in EM state, out
+ * final; codes out; hdr: (nb, hdr_cap) bytes; hdr_bits / payload_bits
+ * out per row.  Returns 0, or -(row+1) if a header overflowed hdr_cap
+ * (caller falls back to the host path for that batch). */
+long lbz2_chain_finish(const uint8_t *selectors, const int32_t *ngroups,
+                       const uint32_t *freqs, const int32_t *as_arr,
+                       const int32_t *nt_arr, long nb, long gcap,
+                       const uint8_t *cmap_used, const int32_t *bwt_idx,
+                       const uint32_t *crc_stored,
+                       uint8_t *lengths_io, uint32_t *codes_out,
+                       uint8_t *hdr, long hdr_cap,
+                       int32_t *hdr_bits, int64_t *payload_bits) {
+  const long S = (long)MAX_TREES * (MAX_ALPHA + 1);
+  for (long b = 0; b < nb; b++) {
+    int as = as_arr[b];
+    int nt = nt_arr[b];
+    long ns = ngroups[b];
+    const uint8_t *sel = selectors + b * gcap;
+    const uint32_t *fr = freqs + b * S;
+    uint8_t (*lengths)[MAX_ALPHA + 1] =
+        (uint8_t (*)[MAX_ALPHA + 1])(lengths_io + b * S);
+    uint32_t (*codes_tab)[MAX_ALPHA + 1] =
+        (uint32_t (*)[MAX_ALPHA + 1])(codes_out + b * S);
+
+    /* reorder trees by first use; assign final codes */
+    int tmap_old2new[MAX_TREES], tmap_new2old[MAX_TREES];
+    uint32_t cost = 0;
+    unsigned not_seen = (1u << nt) - 1;
+    int new_nt = 0;
+    for (long g = 0; g < ns && not_seen; g++) {
+      int t = sel[g];
+      if (not_seen & (1u << t)) {
+        not_seen -= 1u << t;
+        tmap_old2new[t] = new_nt;
+        tmap_new2old[new_nt] = t;
+        new_nt++;
+        cost += assign_codes2(codes_tab[t], lengths[t],
+                              fr + (long)t * (MAX_ALPHA + 1), as);
+        codes_tab[t][as] = 0;
+        lengths[t][as] = 0;
+      }
+    }
+    if (new_nt == 1) {
+      new_nt = 2;
+      int t = tmap_new2old[0] ^ 1;
+      tmap_old2new[t] = 1;
+      tmap_new2old[1] = t;
+      int cl0 = 0;
+      while ((2 << cl0) <= as) cl0++;
+      int v = 0;
+      int nshort = (2 << cl0) - as;
+      for (; v < nshort; v++) lengths[t][v] = (uint8_t)cl0;
+      if (v < as) cost += 2;
+      for (; v < as; v++) lengths[t][v] = (uint8_t)(cl0 + 1);
+      cost += (uint32_t)as + 5;
+    }
+
+    /* exact payload bit count = sum freq * final length (the dummy
+     * symbol's length is 0; unused trees have all-zero freqs) */
+    int64_t pbits = 0;
+    for (int t = 0; t < MAX_TREES; t++)
+      for (int v = 0; v <= as; v++)
+        pbits += (int64_t)fr[(long)t * (MAX_ALPHA + 1) + v] *
+                 lengths[t][v];
+    payload_bits[b] = pbits;
+
+    /* selector MTF */
+    static __thread uint8_t smtf[EM_MAX_GROUPS + 2];
+    long n_smtf = 0;
+    {
+      int order[MAX_TREES] = {0, 1, 2, 3, 4, 5};
+      for (long g = 0; g < ns; g++) {
+        int c = tmap_old2new[sel[g]];
+        int j = 0;
+        while (order[j] != c) j++;
+        for (int q = j; q > 0; q--) order[q] = order[q - 1];
+        order[0] = c;
+        smtf[n_smtf++] = (uint8_t)j;
+      }
+    }
+
+    /* padding */
+    uint64_t total = 48 + 32 + 1 + 24 + 3 + 15 + cost;
+    for (long i = 0; i < n_smtf; i++) total += smtf[i] + 1;
+    int pad = (int)((8 - (total & 7)) & 7);
+    int tree_pad = pad >> 1;
+    long num_selectors = ns;
+    if (pad & 1) { smtf[n_smtf++] = 0; num_selectors++; }
+
+    /* header transmit (everything before the group codes) */
+    const uint8_t *cm = cmap_used + b * 256;
+    bw_t w = {0, 0, hdr + b * hdr_cap, 0};
+    bw_put(&w, 0x314159u, 24);
+    bw_put(&w, 0x265359u, 24);
+    bw_put(&w, crc_stored[b], 32);
+    bw_put(&w, 0, 1);
+    bw_put(&w, (uint32_t)bwt_idx[b], 24);
+    {
+      uint32_t big = 0;
+      uint32_t packs[16];
+      for (int i = 0; i < 16; i++) {
+        uint32_t pk = 0;
+        for (int j = 0; j < 16; j++)
+          pk = (pk << 1) | (cm[16 * i + j] ? 1u : 0u);
+        packs[i] = pk;
+        big = (big << 1) | (pk ? 1u : 0u);
+      }
+      bw_put(&w, big, 16);
+      for (int i = 0; i < 16; i++)
+        if (packs[i]) bw_put(&w, packs[i], 16);
+    }
+    bw_put(&w, (uint32_t)new_nt, 3);
+    bw_put(&w, (uint32_t)num_selectors, 15);
+    for (long i = 0; i < n_smtf; i++) {
+      int v = smtf[i] + 1;
+      bw_put(&w, (1u << v) - 2, v);
+    }
+    for (int tn = 0; tn < new_nt; tn++) {
+      const uint8_t *len = lengths[tmap_new2old[tn]];
+      int a = len[0];
+      if (tn == 0) a = a < 4 ? a + tree_pad : a - tree_pad;
+      bw_put(&w, (uint32_t)a, 5);
+      for (int v = 0; v < as; v++) {
+        int c = len[v];
+        while (a < c) { bw_put(&w, 2, 2); a++; }
+        while (a > c) { bw_put(&w, 3, 2); a--; }
+        bw_put(&w, 0, 1);
+      }
+      if (w.pos + 128 > hdr_cap) return -(b + 1);
+    }
+    /* flush the partial byte (hdr_bits records the true bit length) */
+    long bits = w.pos * 8 + w.nbits;
+    if (w.nbits) bw_put(&w, 0, 8 - w.nbits);
+    hdr_bits[b] = (int32_t)bits;
+  }
+  return 0;
+}

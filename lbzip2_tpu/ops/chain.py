@@ -1,0 +1,394 @@
+"""Device encode chain: BWT bytes -> MTF -> RLE2 -> EM -> packed payload.
+
+Composes the per-stage kernels into the three fused device programs the
+production encoder dispatches per batch (reference hot path being
+reproduced: src/encode.c:361-425 do_mtf, :1005-1084 EM loop, :1140-1281
+transmit):
+
+  chain_mtf:   (bwt bytes, cmaps) -> mtfv, nm, mtf_freq histogram
+  em_estep_batch: one EM expectation step with the spec's 10-bit-lane
+               carry semantics, batched with per-row tree counts
+  pack_groups: per-symbol Huffman codes -> payload bit groups packed
+               into u32 words (two-level: 50-symbol groups into
+               1024-bit slots, slots merged by group bit offsets)
+
+The M-step (per-tree Huffman refit over <=259 symbols) stays on the
+host between E-steps: it is tiny, sequential, and its exact tie-breaks
+are already encoded in native/huffman2.c.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lbzip2_tpu.core.constants import GROUP_SIZE, MAX_ALPHA_SIZE, MAX_TREES
+from lbzip2_tpu.ops.mtf import mtf_ranks
+from lbzip2_tpu.ops.rle2 import _rle2_batch
+
+_INF = jnp.int32(2 ** 31 - 1)
+WIDTH = MAX_ALPHA_SIZE + 1  # 259: symbols 0..257 + per-row dummy `as`
+
+
+def _compact_syms(bwt: jnp.ndarray, cmaps: jnp.ndarray) -> jnp.ndarray:
+    """Map raw BWT bytes to compacted symbol ids (popcount-mask form;
+    measured cheaper than a 256-table gather on this chip class)."""
+    B, N = bwt.shape
+    bits = cmaps.reshape(B, 8, 32).astype(jnp.uint32)
+    w = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None],
+                axis=2)  # (B, 8) bitmask words
+    pc = jax.lax.population_count(w)
+    pre = jnp.cumsum(pc, axis=1) - pc
+    v = bwt.astype(jnp.uint32)
+    hi = (v >> 5).astype(jnp.int32)
+    lo = v & 31
+    word = jnp.zeros_like(v)
+    base = jnp.zeros_like(v)
+    for k in range(8):
+        sel = hi == k
+        word = jnp.where(sel, w[:, k:k + 1], word)
+        base = jnp.where(sel, pre[:, k:k + 1].astype(jnp.uint32), base)
+    mask = jnp.where(lo == 0, jnp.uint32(0),
+                     jnp.uint32(0xFFFFFFFF) >> (32 - lo))
+    return (base + jax.lax.population_count(word & mask)).astype(jnp.int32)
+
+
+def _hist_rows(ids: jnp.ndarray, valid: jnp.ndarray, nbins: int):
+    """Per-row histogram of ids under a validity mask, via one sorted
+    merge with bin probes (scatters and giant one-hots are both losers
+    on this chip; a 2-operand sort is ~0.1 s per 32x900k batch).
+
+    ids: (B, L) int32 in [0, nbins); returns (B, nbins) int32 counts.
+    """
+    B, L = ids.shape
+    probes = jnp.broadcast_to(jnp.arange(nbins, dtype=jnp.int32)[None],
+                              (B, nbins))
+    keys = jnp.concatenate([probes, jnp.where(valid, ids, nbins)], axis=1)
+    tags = jnp.concatenate([jnp.zeros((B, nbins), jnp.int32),
+                            jnp.ones((B, L), jnp.int32)], axis=1)
+    skeys, stags = jax.lax.sort((keys, tags), num_keys=2, dimension=1)
+    # probe positions in the merged order, in bin order (stable sort)
+    lane = jnp.broadcast_to(jnp.arange(nbins + L, dtype=jnp.int32)[None],
+                            (B, nbins + L))
+    _, ppos = jax.lax.sort((stags, lane), num_keys=1, dimension=1)
+    ppos = jax.lax.slice_in_dim(ppos, 0, nbins, axis=1)
+    nxt = jnp.concatenate(
+        [ppos[:, 1:], jnp.full((B, 1), nbins + L, jnp.int32)], axis=1)
+    # between probe c and probe c+1 sit count[c] ids plus one probe
+    counts = nxt - ppos - 1
+    # invalid ids (key nbins) sort past the last probe and never count
+    last = jnp.sum(valid, axis=1, dtype=jnp.int32) + nbins
+    counts = counts.at[:, -1].set(last - ppos[:, -1] - 1)
+    return counts
+
+
+def _chain_mtf(bwt: jnp.ndarray, ns: jnp.ndarray, cmaps: jnp.ndarray):
+    """BWT bytes -> (mtfv (B, N+1) int32, nm (B,), hist (B, WIDTH)).
+
+    hist counts mtfv[:nm] per row (the global MTF frequency table the
+    host uses for the initial equivalence classes)."""
+    B, N = bwt.shape
+    syms = _compact_syms(bwt, cmaps)
+    ninuse = jnp.sum(cmaps.astype(jnp.int32), axis=1)
+    ranks = jax.vmap(lambda s, n: mtf_ranks(s, n))(syms, ns)
+    mtfv, nm = _rle2_batch(ranks, ns, ninuse)
+    lanes = jnp.arange(N + 1, dtype=jnp.int32)[None]
+    hist = _hist_rows(mtfv, lanes < nm[:, None], WIDTH)
+    return mtfv, nm, hist
+
+
+chain_mtf = jax.jit(_chain_mtf)
+
+
+def _em_estep_batch(mtfv: jnp.ndarray, nm: jnp.ndarray,
+                    ninuse: jnp.ndarray, nt: jnp.ndarray,
+                    lengths: jnp.ndarray):
+    """One batched EM expectation step (exact spec semantics).
+
+    mtfv: (B, NP) int32 (entries >= nm ignored); nm, ninuse, nt: (B,);
+    lengths: (B, MAX_TREES, WIDTH) int32 code lengths with the per-row
+    dummy symbol's length 0.
+    Returns (selectors (B, G) int32 (garbage beyond the row's group
+    count), freqs (B, MAX_TREES, WIDTH) int32, ngroups (B,)).
+
+    Spec: per 50-symbol group the per-tree costs are base-1024 lanes of
+    a wrapping uint64 accumulator — carries from lower lanes pollute
+    upper ones (reference src/encode.c:1044-1084); first minimum wins.
+    """
+    B, NP = mtfv.shape
+    G = (NP + GROUP_SIZE - 1) // GROUP_SIZE
+    pad_to = G * GROUP_SIZE
+    as_ = (ninuse + 2)[:, None]
+    lanes = jnp.arange(pad_to, dtype=jnp.int32)[None]
+    padded = jnp.where(
+        lanes < nm[:, None],
+        jnp.pad(mtfv, ((0, 0), (0, pad_to - NP))), as_)
+    groups = padded.reshape(B, G, GROUP_SIZE)
+    ngroups = (nm + GROUP_SIZE - 1) // GROUP_SIZE
+
+    # Per-tree group costs from ONE packed gather: lane t of the packed
+    # table is length[t][sym] << 10t in a pair of uint32 words (trees
+    # 0-2 low, 3-5 high).  Summing the packed words reproduces the
+    # reference's wrapping uint64-lane accumulation bit-for-bit: lane
+    # overflow carries into the next lane during the binary add, and
+    # the low word's bits 30.. carry into the high word's first lane.
+    flat = groups.reshape(B, G * GROUP_SIZE)
+    lo = (lengths[:, 0, :].astype(jnp.uint32) |
+          (lengths[:, 1, :].astype(jnp.uint32) << 10) |
+          (lengths[:, 2, :].astype(jnp.uint32) << 20))
+    hi = (lengths[:, 3, :].astype(jnp.uint32) |
+          (lengths[:, 4, :].astype(jnp.uint32) << 10) |
+          (lengths[:, 5, :].astype(jnp.uint32) << 20))
+    glo = jnp.take_along_axis(lo, flat, axis=1).reshape(
+        B, G, GROUP_SIZE).sum(axis=2, dtype=jnp.uint32)
+    ghi = jnp.take_along_axis(hi, flat, axis=1).reshape(
+        B, G, GROUP_SIZE).sum(axis=2, dtype=jnp.uint32)
+    ghi = ghi + (glo >> 30)  # lane-2 overflow crosses the word boundary
+    # 10-bit lane extraction, first-min selection
+    best = jnp.full((B, G), 0x400, jnp.uint32)
+    bt = jnp.zeros((B, G), jnp.int32)
+    for t in range(MAX_TREES):
+        word = glo if t < 3 else ghi
+        c = (word >> (10 * (t % 3))) & 0x3FF
+        live = t < nt[:, None]
+        better = live & ((t == 0) | (c < best))
+        best = jnp.where(better, c, best)
+        bt = jnp.where(better, t, bt)
+
+    # per-selected-tree symbol histogram over all padded group symbols
+    gvalid = (jnp.arange(G, dtype=jnp.int32)[None] <
+              ngroups[:, None])[:, :, None]
+    flat_ids = bt[:, :, None] * WIDTH + jnp.minimum(groups, WIDTH - 1)
+    freqs = _hist_rows(flat_ids.reshape(B, -1),
+                       jnp.broadcast_to(gvalid, groups.shape).reshape(
+                           B, -1), MAX_TREES * WIDTH).reshape(
+        B, MAX_TREES, WIDTH)
+    return bt, freqs, ngroups
+
+
+em_estep_batch = jax.jit(_em_estep_batch)
+
+
+# ---------------------------------------------------------------------------
+# Device payload pack: two-level group packing.
+# ---------------------------------------------------------------------------
+
+_SLOT_WORDS = 32  # 1024 bits >= 50 codes * 20 bits + padding room
+
+
+def _pack_groups(mtfv: jnp.ndarray, nm: jnp.ndarray,
+                 ninuse: jnp.ndarray, ngroups: jnp.ndarray,
+                 selectors: jnp.ndarray, codes: jnp.ndarray,
+                 lens: jnp.ndarray, start_bit: jnp.ndarray,
+                 W: int):
+    """Pack every group's Huffman codes into the payload bit stream.
+
+    mtfv: (B, NP) int32 padded with the dummy symbol (len 0 => emits
+    nothing); selectors: (B, G) final tree per group; codes/lens:
+    (B, MAX_TREES, WIDTH) final tables (dummy symbol len 0);
+    start_bit: (B,) bit offset of the payload within its output word
+    stream (0..31: the header's residual bit position, so the host can
+    OR the first word over the header tail).
+
+    Returns (words (B, W) uint32 big-endian payload words,
+    total_bits (B,) payload bits including the leading start_bit skew).
+    """
+    B, NP = mtfv.shape
+    G = (NP + GROUP_SIZE - 1) // GROUP_SIZE
+    as_ = (ninuse + 2)[:, None]
+    lanes = jnp.arange(G * GROUP_SIZE, dtype=jnp.int32)[None]
+    padded = jnp.where(lanes < nm[:, None],
+                       jnp.pad(mtfv, ((0, 0),
+                                      (0, G * GROUP_SIZE - NP))), as_)
+    groups = padded.reshape(B, G, GROUP_SIZE)
+
+    # per-symbol code + length via small-table gathers
+    tree = jnp.clip(selectors, 0, MAX_TREES - 1)
+    flat_sym = (tree[:, :, None] * WIDTH + groups).reshape(B, -1)
+    cflat = codes.reshape(B, MAX_TREES * WIDTH)
+    lflat = lens.reshape(B, MAX_TREES * WIDTH)
+    cv = jnp.take_along_axis(cflat, flat_sym, axis=1).reshape(
+        B, G, GROUP_SIZE).astype(jnp.uint32)
+    lv = jnp.take_along_axis(lflat, flat_sym, axis=1).reshape(
+        B, G, GROUP_SIZE).astype(jnp.int32)
+    gvalid = (jnp.arange(G, dtype=jnp.int32)[None] < ngroups[:, None])
+    lv = jnp.where(gvalid[:, :, None], lv, 0)
+
+    # level 1: pack 50 codes into a 1024-bit slot per group.
+    # ends[i] = bit offset after code i within the group
+    ends = jnp.cumsum(lv, axis=2)
+    gbits = ends[:, :, -1]  # (B, G) <= 1000
+    starts = ends - lv
+    # each code contributes to words s>>5 and s>>5 + 1 of its slot:
+    # aligned = code << (64 - (s & 31) - len), split into hi/lo words
+    s_in = starts & 31
+    widx = starts >> 5
+    # align each code into a 64-bit window at bit s_in (MSB-first),
+    # in pure u32 (jax x64 is off): hi = bits [0,32), lo = [32,64)
+    end_in = s_in + lv
+    hi = jnp.where(end_in <= 32,
+                   cv << jnp.clip(32 - end_in, 0, 31).astype(jnp.uint32),
+                   cv >> jnp.clip(end_in - 32, 0, 31).astype(jnp.uint32))
+    lo = jnp.where(end_in <= 32, jnp.uint32(0),
+                   cv << jnp.clip(64 - end_in, 0, 31).astype(jnp.uint32))
+    # accumulate into (B, G, 33) slot words, one unrolled step per code
+    # position (bit ranges never overlap, so add == or); keeps peak
+    # memory at (B, G, 33) instead of materializing a 4-D one-hot
+    w_iota = jnp.arange(_SLOT_WORDS + 1, dtype=jnp.int32)[None, None, :]
+    slots = jnp.zeros((B, G, _SLOT_WORDS + 1), jnp.uint32)
+    for i in range(GROUP_SIZE):
+        wi = widx[:, :, i:i + 1]
+        slots = slots + jnp.where(w_iota == wi, hi[:, :, i:i + 1], 0) \
+            + jnp.where(w_iota == wi + 1, lo[:, :, i:i + 1], 0)
+
+    # level 2: merge slots at group offsets start_bit + cumsum(gbits).
+    gends = jnp.cumsum(gbits, axis=1) + start_bit[:, None]
+    gstarts = gends - gbits
+    total = gends[:, -1] if G > 0 else start_bit
+    # W (static) is the output word capacity per row; the caller knows
+    # each row's exact payload bits before dispatch (sum of freq*len on
+    # the host) and falls back to the host encoder when a row exceeds
+    # it, so no output is ever silently truncated.
+    # for output word w, the covering group = #{g : gstart <= 32w} - 1
+    # via one sorted merge over (G starts | W word positions)
+    wpos = jnp.broadcast_to(
+        (jnp.arange(W, dtype=jnp.int32) * 32)[None], (B, W))
+    keys = jnp.concatenate(
+        [jnp.where(gvalid, gstarts, _INF), wpos], axis=1)
+    tags = jnp.concatenate([jnp.zeros((B, G), jnp.int32),
+                            jnp.ones((B, W), jnp.int32)], axis=1)
+    gids = jnp.concatenate(
+        [jnp.arange(G, dtype=jnp.int32)[None].repeat(B, 0),
+         jnp.zeros((B, W), jnp.int32)], axis=1)
+    skeys, stags, sgids = jax.lax.sort((keys, tags, gids), num_keys=2,
+                                       dimension=1)
+    run = jax.lax.cummax(jnp.where(stags == 0, sgids, -1), axis=1)
+    _, wg = jax.lax.sort((stags, run), num_keys=1, dimension=1)
+    wg = jax.lax.slice_in_dim(wg, G, G + W, axis=1)  # (B, W) group ids
+
+    def window(g):
+        """Output-word view of group g's slot at this word's offset,
+        in pure u32: bits [sh, sh+32) of the slot's 64-bit window."""
+        g = jnp.clip(g, 0, G - 1)
+        gs = jnp.take_along_axis(gstarts, g, axis=1)
+        off = wpos - gs  # bit offset of word within group (may be <0)
+        sw = jnp.clip(off >> 5, -1, _SLOT_WORDS)
+        sh = (off & 31).astype(jnp.uint32)
+        flat_slots = slots.reshape(B, G * (_SLOT_WORDS + 1))
+
+        def sword(i):
+            j = jnp.clip(sw + i, 0, _SLOT_WORDS)
+            ok = (sw + i >= 0) & (sw + i <= _SLOT_WORDS)
+            v = jnp.take_along_axis(flat_slots,
+                                    g * (_SLOT_WORDS + 1) + j, axis=1)
+            return jnp.where(ok, v, 0)
+
+        w0, w1 = sword(0), sword(1)
+        win = jnp.where(sh == 0, w0,
+                        (w0 << sh) | (w1 >> ((32 - sh) & 31)))
+        # mask to the group's bit extent (its slot may carry stray
+        # zeros past gbits; adjacent-group bits come via the successor)
+        gb = jnp.take_along_axis(gbits, g, axis=1)
+        vb = jnp.clip(gb - off, 0, 32).astype(jnp.uint32)
+        mask = jnp.where(vb >= 32, jnp.uint32(0xFFFFFFFF),
+                         jnp.where(vb == 0, jnp.uint32(0),
+                                   jnp.uint32(0xFFFFFFFF) << (32 - vb)))
+        neg = off < -31  # word entirely before the group starts
+        return jnp.where(neg, 0, win & mask)
+
+    # a 32-bit output word overlaps at most two groups (every non-final
+    # group carries >= 50 bits); take the covering group + successor
+    wg1 = jnp.minimum(wg + 1, G - 1)
+    nxt = window(wg1)
+    nxt = jnp.where(wg1 > wg, nxt, 0)
+    words = window(wg) | nxt
+    words = jnp.where(wpos < total[:, None], words, 0)
+    return words, total
+
+
+import functools
+
+pack_groups = jax.jit(_pack_groups, static_argnames=("W",))
+
+# Default payload word capacity per row: 5.7 bits/symbol average.  The
+# host knows each row's exact payload bits before dispatching the pack
+# and falls back to the host encoder for rows that exceed this.
+PACK_W = 160768
+
+
+def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
+                   cluster_factor: int = 8, pack_w: int = PACK_W):
+    """Drive the full device entropy chain for one resolved BWT batch.
+
+    bwt_dev: (B, N) uint8 device array of BWT rows; ns/idxs/crcs: (B,)
+    host arrays; cmaps: (B, 256) uint8.  Returns a list of B payload
+    byte strings (None for rows that exceeded pack_w — caller re-encodes
+    those on the host).
+
+    Device: MTF + RLE2 + EM E-steps + group bit-pack.  Host (C): EM
+    M-steps, final code assignment, header build, stream splice.
+    """
+    import numpy as np
+
+    from lbzip2_tpu import native
+    from lbzip2_tpu.ref.huffman import generate_initial_trees, num_trees_for
+
+    B, N = bwt_dev.shape
+    ns = np.asarray(ns, np.int32)
+    cmaps_u8 = np.ascontiguousarray(cmaps, np.uint8)
+    ns_dev = jax.device_put(jnp.asarray(ns))
+    cm_dev = jax.device_put(jnp.asarray(cmaps_u8))
+
+    mtfv, nm, hist = chain_mtf(bwt_dev, ns_dev, cm_dev)
+    nm_h = np.asarray(nm)
+    hist_h = np.asarray(hist)
+    ninuse = cmaps_u8.sum(axis=1, dtype=np.int32)
+    as_arr = ninuse + 2
+    nt_arr = np.array([num_trees_for(int(v)) for v in nm_h], np.int32)
+    ngroups = (nm_h + GROUP_SIZE - 1) // GROUP_SIZE
+
+    lengths = np.ones((B, MAX_TREES, WIDTH), np.uint8)
+    for b in range(B):
+        lengths[b] = generate_initial_trees(
+            hist_h[b].astype(np.int64), int(nm_h[b]), int(nt_arr[b]))
+        lengths[b, :, as_arr[b]:] = 0
+
+    ninuse_dev = jnp.asarray(ninuse)
+    nt_dev = jnp.asarray(nt_arr)
+    sel = freqs = None
+    for it in range(cluster_factor):
+        sel, freqs, _ = em_estep_batch(mtfv, nm, ninuse_dev, nt_dev,
+                                       jnp.asarray(lengths))
+        freqs_h = np.asarray(freqs).astype(np.uint32)
+        if it < cluster_factor - 1:
+            # C M-step writes symbols 0..as-1 only, so the zeroed
+            # dummy columns (>= as) persist across iterations
+            native.em_mstep(freqs_h, as_arr, nt_arr, lengths)
+
+    sel_h = np.asarray(sel.astype(jnp.uint8))
+    codes, hdr, hdr_bits, payload_bits = native.chain_finish(
+        sel_h, ngroups, freqs_h, as_arr, nt_arr, cmaps_u8,
+        np.asarray(idxs, np.int32), np.asarray(crcs, np.uint32), lengths)
+
+    start_bit = (hdr_bits % 32).astype(np.int32)
+    fits = (payload_bits + start_bit) <= 32 * pack_w
+    words, total = pack_groups(
+        mtfv, nm, ninuse_dev, jnp.asarray(ngroups.astype(np.int32)),
+        sel, jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(start_bit), pack_w)
+    words_h = np.asarray(words)
+
+    out = []
+    for b in range(B):
+        if not fits[b]:
+            out.append(None)
+            continue
+        hb = (int(hdr_bits[b]) + 7) // 8
+        w0 = int(hdr_bits[b]) // 32
+        total_bytes = (int(hdr_bits[b]) + int(payload_bits[b])) // 8
+        buf = np.zeros(total_bytes, np.uint8)
+        buf[:hb] = hdr[b, :hb]
+        pb = words_h[b].astype(">u4").view(np.uint8)
+        buf[4 * w0:] |= pb[:total_bytes - 4 * w0]
+        out.append(buf.tobytes())
+    return out
