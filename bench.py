@@ -49,20 +49,30 @@ def build_corpus(size: int) -> bytes:
     return b"".join(out)[:size]
 
 
-def _device_alive(timeout_s: int = 300) -> bool:
-    """Probe the TPU in a subprocess so a hung tunnel can't wedge bench."""
+def _device_alive(timeout_s: int = 240, attempts: int = 4,
+                  retry_wait_s: int = 120) -> bool:
+    """Probe the TPU in a subprocess so a hung tunnel can't wedge bench.
+
+    The tunnel goes through multi-minute outages; retry a few times
+    before falling back to host-only so a transient hang at bench time
+    doesn't erase the device measurement."""
     import subprocess
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.sum(jnp.arange(128))))"],
-            capture_output=True, timeout=timeout_s, env=env)
-        return r.returncode == 0 and b"8128" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.arange(128))))"],
+                capture_output=True, timeout=timeout_s, env=env)
+            if r.returncode == 0 and b"8128" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main():

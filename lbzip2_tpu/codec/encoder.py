@@ -58,6 +58,13 @@ _DEVICE = os.environ.get("LBZ2_DEVICE", "1") != "0"
 # Diagnostic: disable host tail-stealing (device-only block encode).
 _HOST_STEAL = os.environ.get("LBZ2_HOST_STEAL", "1") != "0"
 
+# Device entropy chain: run MTF+RLE2+EM+bit-pack on device and download
+# only compressed payloads (ops/chain.py), instead of downloading BWT
+# run tokens and running the C entropy stage on the host.  Opt-in: on a
+# tunneled chip with few host cores the token+host-entropy split
+# measures faster; flip on for local chips with saturated host cores.
+_DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "0") == "1"
+
 
 def _bucket_for(n: int) -> int | None:
     """Device bucket for a block of n bytes; None -> host engine."""
@@ -198,9 +205,40 @@ class _WorkPool:
             self.entropy_q.put(None)  # sticky wake-up sentinel
 
     def _fetch_task(self, ids, spans, task):
+        if task.emit == "bytes":
+            return self._fetch_chain(ids, spans, task)
         rows, primary = task.result()
         for row, (i, span) in enumerate(zip(ids, spans)):
             self.entropy_q.put((i, span, rows[row], int(primary[row])))
+        self.stats["device_blocks"] += len(ids)
+
+    def _fetch_chain(self, ids, spans, task):
+        """Device-chain completion: entropy-code on device, download
+        payloads; rows that overflow the pack capacity re-encode on
+        the host via the entropy queue."""
+        from lbzip2_tpu.ops.chain import chain_payloads
+        bwt_dev, primary = task.result_device()
+        ns = np.array([s.data.size for s in spans], np.int32)
+        cmaps = np.stack([np.asarray(s.cmap, np.uint8) for s in spans])
+        crcs = np.array(
+            [(native.crc32_block(self.buf[s.start:s.end]) ^ 0xFFFFFFFF)
+             & 0xFFFFFFFF for s in spans], np.uint32)
+        # pad rows (task batch longer than ids) replay row 0
+        B = bwt_dev.shape[0]
+        if B > len(spans):
+            ns = np.concatenate([ns, np.repeat(ns[:1], B - len(spans))])
+            cmaps = np.concatenate(
+                [cmaps, np.repeat(cmaps[:1], B - len(spans), axis=0)])
+            crcs = np.concatenate(
+                [crcs, np.repeat(crcs[:1], B - len(spans))])
+        payloads = chain_payloads(bwt_dev, ns, cmaps,
+                                  np.asarray(primary, np.int32), crcs,
+                                  self.cf)
+        for row, (i, span) in enumerate(zip(ids, spans)):
+            if payloads[row] is None:  # pack overflow: host re-encode
+                self.entropy_q.put((i, span, None, -1))
+            else:
+                self.put_result(i, (payloads[row], int(crcs[row])))
         self.stats["device_blocks"] += len(ids)
 
     def _make_task(self, ids, Bwt2Task):
@@ -237,7 +275,8 @@ class _WorkPool:
             ms[row] = ms[0]
         return ([i for i, _, _, _ in rows],
                 [span for _, span, _, _ in rows],
-                Bwt2Task(batch, ns, ms))
+                Bwt2Task(batch, ns, ms,
+                         emit="bytes" if _DEVICE_CHAIN else "tokens"))
 
     # --- host workers -----------------------------------------------------
     def host_loop(self):

@@ -215,10 +215,33 @@ def _emit2(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
     return tokens, raw, run_counts, primary
 
 
+def _emit_bytes(blocks: jnp.ndarray, ISA: jnp.ndarray, ns: jnp.ndarray,
+                ms: jnp.ndarray):
+    """BWT rows as device-resident bytes (device-chain mode).
+
+    One sort instead of emit2's two: no run tokens are built because
+    the bytes stay on device for the MTF/EM/pack chain (ops/chain.py)
+    and only the compressed payload is downloaded.
+    Returns (bwt (B, N) uint8, primary (B,))."""
+    B, N = blocks.shape
+    idxB = _iota(B, N)
+    nB = ns[:, None]
+    last = jnp.take_along_axis(blocks, nB - 1, axis=1)
+    prev = jnp.concatenate([last, blocks[:, :N - 1].astype(jnp.uint8)],
+                           axis=1)
+    key = jnp.where(idxB < nB, ISA, _INF)
+    _, sbwt = jax.lax.sort((key, prev.astype(jnp.int32)), num_keys=1,
+                           dimension=1)
+    i0 = jnp.where(ms[:, None] == 0, 0, ns[:, None] - ms[:, None])
+    primary = jnp.take_along_axis(ISA, i0, axis=1)[:, 0]
+    return sbwt.astype(jnp.uint8), primary
+
+
 seed16 = jax.jit(_seed16)
 pass4 = jax.jit(_pass4)
 pass8 = jax.jit(_pass8)
 emit2 = jax.jit(_emit2)
+emit_bytes = jax.jit(_emit_bytes)
 
 
 @jax.jit
@@ -371,7 +394,7 @@ class Bwt2Task:
     # switch to compact-tail passes when max unresolved < N / _TAIL_DIV
     _TAIL_DIV = 8
 
-    def __init__(self, blocks_np, ns, ms):
+    def __init__(self, blocks_np, ns, ms, emit: str = "tokens"):
         B, N = blocks_np.shape
         self.N = N
         self.maxn = int(np.max(ns))
@@ -380,6 +403,7 @@ class Bwt2Task:
         self.ms = jax.device_put(np.asarray(ms, np.int32))
         self.ISA, self.cnt = seed16(self.blocks, self.ns)
         self.k = 16
+        self.emit = emit  # "tokens" (host download) | "bytes" (chain)
         self.tail = None  # (r1, wpos) once compacted
         self.out = None
         self.done = False
@@ -399,6 +423,10 @@ class Bwt2Task:
             return True
         m = int(np.max(np.asarray(self.cnt)))
         if m == 0:
+            if self.emit == "bytes":
+                self.out = emit_bytes(self.blocks, self.ISA, self.ns,
+                                      self.ms)
+                return False
             self.out = emit2(self.blocks, self.ISA, self.ns, self.ms)
             # start the cheap d2h copies now; the fetch thread picks
             # tokens vs raw once the run counts land
@@ -418,11 +446,20 @@ class Bwt2Task:
             self.k *= 8
         return False
 
+    def result_device(self):
+        """Device-resident (bwt (B, N) uint8, primary (B,)) — chain
+        mode (emit="bytes"); nothing is downloaded."""
+        assert self.emit == "bytes"
+        while not self.done:
+            self.step()
+        return self.out
+
     def result(self):
         """(rows, primary): rows is a list of per-row uint8 BWT arrays.
 
         Downloads run tokens (~0.35x bytes on text) when every row fits
         the token capacity, else the raw packed rows."""
+        assert self.emit == "tokens"
         while not self.done:
             self.step()
         tokens, raw, run_counts, primary = self.out
