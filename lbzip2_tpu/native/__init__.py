@@ -98,6 +98,17 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.lbz2_retrieve_boundaries.restype = ctypes.c_long
+        lib.lbz2_retrieve_boundaries.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.lbz2_imtf_rle2.restype = ctypes.c_long
+        lib.lbz2_imtf_rle2.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.lbz2_em_mstep.restype = None
         lib.lbz2_em_mstep.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -304,6 +315,70 @@ def encode_block(block: np.ndarray, cmap_bool: np.ndarray,
         out.ctypes.data_as(ctypes.c_void_p))
     assert ln > 0
     return out[:ln].tobytes()
+
+
+def retrieve_boundaries(data: np.ndarray, nbits: int, bitpos: int):
+    """Parse a block header and length-walk its payload (host half of
+    the device Huffman decode).
+
+    Returns (err, end_pos, meta) where meta is a dict with idx, rand,
+    used (256 u8), alpha, ntrees, group_start (ng,) int64 bit offsets,
+    group_tree (ng,) uint8 resolved tree ids, ngroups, nsyms, and the
+    device decode tables base (nt, 22) uint32 / count (nt, 22) int32 /
+    perm (nt, 258) uint16."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    pos = ctypes.c_long(bitpos)
+    idx = np.zeros(1, np.int32)
+    rnd = np.zeros(1, np.int32)
+    used = np.zeros(256, np.uint8)
+    alpha = np.zeros(1, np.int32)
+    ntrees = np.zeros(1, np.int32)
+    gstart = np.zeros(18003, np.int64)
+    gtree = np.zeros(18003, np.uint8)
+    ngroups = np.zeros(1, np.int32)
+    nsyms = np.zeros(1, np.int32)
+    base = np.zeros((6, 22), np.uint32)
+    count = np.zeros((6, 22), np.int32)
+    perm = np.zeros((6, 258), np.uint16)
+    err = lib.lbz2_retrieve_boundaries(
+        data.ctypes.data_as(ctypes.c_void_p), nbits, ctypes.byref(pos),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        rnd.ctypes.data_as(ctypes.c_void_p),
+        used.ctypes.data_as(ctypes.c_void_p),
+        alpha.ctypes.data_as(ctypes.c_void_p),
+        ntrees.ctypes.data_as(ctypes.c_void_p),
+        gstart.ctypes.data_as(ctypes.c_void_p),
+        gtree.ctypes.data_as(ctypes.c_void_p),
+        ngroups.ctypes.data_as(ctypes.c_void_p),
+        nsyms.ctypes.data_as(ctypes.c_void_p),
+        base.ctypes.data_as(ctypes.c_void_p),
+        count.ctypes.data_as(ctypes.c_void_p),
+        perm.ctypes.data_as(ctypes.c_void_p))
+    if err != 0:
+        return int(err), bitpos, None
+    ng = int(ngroups[0])
+    return 0, int(pos.value), {
+        "idx": int(idx[0]), "rand": int(rnd[0]), "used": used,
+        "alpha": int(alpha[0]), "ntrees": int(ntrees[0]),
+        "group_start": gstart[:ng], "group_tree": gtree[:ng],
+        "ngroups": ng, "nsyms": int(nsyms[0]),
+        "base": base, "count": count, "perm": perm}
+
+
+def imtf_rle2(syms: np.ndarray, used_flags: np.ndarray) -> np.ndarray:
+    """IMTF + RLE2-expand device-decoded symbols into BWT bytes."""
+    lib = get_lib()
+    syms = np.ascontiguousarray(syms, dtype=np.uint16)
+    out = np.empty(900000, np.uint8)
+    r = lib.lbz2_imtf_rle2(
+        syms.ctypes.data_as(ctypes.c_void_p), syms.size,
+        np.ascontiguousarray(used_flags, np.uint8).ctypes.data_as(
+            ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if r < 0:
+        raise ValueError(f"imtf_rle2 error {-r}")
+    return out[:r]
 
 
 def em_mstep(freqs: np.ndarray, as_arr: np.ndarray, nt_arr: np.ndarray,

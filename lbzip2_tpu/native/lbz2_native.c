@@ -416,6 +416,195 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
 }
 
 /* ------------------------------------------------------------------ */
+/* Device-Huffman decode halves (ops/huffdec.py)                       */
+/*                                                                     */
+/* Group boundaries are inherently sequential (bzip2's selector-       */
+/* switched trees leave no bit-level synchronization points), so a     */
+/* light length-only walk stays on the host; the actual symbol         */
+/* extraction — the bulk of retrieve — then parallelizes on device     */
+/* over all groups at once, and the device's per-group end cursors     */
+/* are reconciled against the next group's start (speculation check).  */
+/* ------------------------------------------------------------------ */
+
+/* Parse one block header and length-walk the payload.  Outputs the
+ * per-group (start bit, resolved tree) pairs plus the decode tables
+ * the device kernel consumes.  Returns E_OK or an error code. */
+long lbz2_retrieve_boundaries(const uint8_t *data, long nbits,
+                              long *bitpos, int32_t *out_idx,
+                              int32_t *out_rand, uint8_t *out_used,
+                              int32_t *out_alpha, int32_t *out_ntrees,
+                              int64_t *group_start, uint8_t *group_tree,
+                              int32_t *out_ngroups, int32_t *out_nsyms,
+                              uint32_t *out_base /* nt*22 */,
+                              int32_t *out_count /* nt*22 */,
+                              uint16_t *out_perm /* nt*258 */) {
+  bits_t bs = { data, nbits, *bitpos };
+  int err = 0;
+  tree_t trees[MAX_TREES];
+  uint8_t used_bytes[256];
+  int n_used = 0;
+  memset(out_used, 0, 256);
+
+  int rand_bit = (int)bits_read(&bs, 1, &err);
+  long idx = bits_read(&bs, 24, &err);
+  long big = bits_read(&bs, 16, &err);
+  if (err) return E_EOF;
+  for (int i = 0; i < 16; i++) {
+    if ((big >> (15 - i)) & 1) {
+      long small = bits_read(&bs, 16, &err);
+      if (err) return E_EOF;
+      for (int j = 0; j < 16; j++)
+        if ((small >> (15 - j)) & 1) {
+          out_used[16 * i + j] = 1;
+          used_bytes[n_used++] = (uint8_t)(16 * i + j);
+        }
+    }
+  }
+  if (n_used == 0) return E_BITMAP;
+  int alpha = n_used + 2;
+
+  long num_trees = bits_read(&bs, 3, &err);
+  if (err) return E_EOF;
+  if (num_trees < 2 || num_trees > MAX_TREES) return E_TREES;
+  long num_sel = bits_read(&bs, 15, &err);
+  if (err) return E_EOF;
+  if (num_sel == 0) return E_GROUPS;
+
+  uint8_t selectors[MAX_SELECTORS_HARD + 1];
+  for (long g = 0; g < num_sel; g++) {
+    int k = 0;
+    for (;;) {
+      long b = bits_read(&bs, 1, &err);
+      if (err) return E_EOF;
+      if (b == 0) break;
+      k++;
+      if (k > 6) return E_SELECTOR;
+    }
+    if (k + 1 > num_trees) return E_SELECTOR;
+    selectors[g] = (uint8_t)k;
+  }
+
+  for (int tr = 0; tr < num_trees; tr++) {
+    uint8_t len_arr[258];
+    long cur = bits_read(&bs, 5, &err);
+    if (err) return E_EOF;
+    int j = 0;
+    while (j < alpha) {
+      int ops = 0, terminated = 0;
+      while (ops < 3) {
+        long b = bits_read(&bs, 1, &err);
+        if (err) return E_EOF;
+        if (b == 0) { terminated = 1; break; }
+        long b2 = bits_read(&bs, 1, &err);
+        if (err) return E_EOF;
+        cur += b2 == 0 ? 1 : -1;
+        ops++;
+      }
+      if (cur < 1 || cur > MAX_CODE_LENGTH) return E_DELTA;
+      if (terminated) len_arr[j++] = (uint8_t)cur;
+    }
+    make_tree(&trees[tr], len_arr, alpha);
+  }
+
+  /* length-only walk: record group starts + resolved trees */
+  int tree_mtf[MAX_TREES] = {0, 1, 2, 3, 4, 5};
+  long ns = num_sel < SELECTOR_CLAMP ? num_sel : SELECTOR_CLAMP;
+  long nsyms = 0;
+  int eob = 0;
+  long g;
+  for (g = 0; g < ns && !eob; g++) {
+    int si = selectors[g];
+    int tsel = tree_mtf[si];
+    for (int q = si; q > 0; q--) tree_mtf[q] = tree_mtf[q - 1];
+    tree_mtf[0] = tsel;
+    tree_t *T = &trees[tsel];
+    if (T->status != E_OK) return T->status;
+    group_start[g] = bs.pos;
+    group_tree[g] = (uint8_t)tsel;
+
+    for (int m = 0; m < GROUP_SIZE; m++) {
+      uint32_t v = bits_peek20(&bs);
+      uint16_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
+      int k, sym;
+      if (x != 0xFFFF) {
+        k = x & 0x1F;
+        sym = x >> 5;
+      } else {
+        k = LUT_WIDTH + 1;
+        while ((uint64_t)v >= T->base[k + 1]) k++;
+        sym = T->perm[T->count[k] +
+                      (long)((v - T->base[k]) >> (MAX_CODE_LENGTH - k))];
+      }
+      if (bs.pos + k > bs.nbits) return E_EOF;
+      bs.pos += k;
+      nsyms++;
+      if (sym == 0) { eob = 1; break; }
+    }
+  }
+  if (!eob) return E_UNTERM;
+
+  *bitpos = bs.pos;
+  *out_idx = (int32_t)idx;
+  *out_rand = rand_bit;
+  *out_alpha = alpha;
+  *out_ntrees = (int32_t)num_trees;
+  *out_ngroups = (int32_t)g;
+  *out_nsyms = (int32_t)nsyms;
+  for (int tr = 0; tr < num_trees; tr++) {
+    for (int k = 0; k <= MAX_CODE_LENGTH + 1; k++) {
+      out_base[tr * 22 + k] = (uint32_t)trees[tr].base[k];
+      out_count[tr * 22 + k] = trees[tr].count[k];
+    }
+    memcpy(out_perm + tr * 258, trees[tr].perm, 258 * sizeof(uint16_t));
+  }
+  return E_OK;
+}
+
+/* IMTF + RLE2 expansion from device-decoded symbols (internal values:
+ * 0=EOB, 1..255 = MTF rank, 257=RUNA, 258=RUNB).  Returns block size
+ * or a negative error. */
+long lbz2_imtf_rle2(const uint16_t *syms, long nsyms,
+                    const uint8_t *used_flags, uint8_t *out_bwt) {
+  uint8_t imtf[256];
+  int n_used = 0;
+  for (int v = 0; v < 256; v++)
+    if (used_flags[v]) imtf[n_used++] = (uint8_t)v;
+  if (n_used == 0) return -E_BITMAP;
+  uint32_t run_char = imtf[0];
+  uint64_t run = 0;
+  int shift = 0;
+  long size = 0;
+  for (long i = 0; i < nsyms; i++) {
+    int sym = syms[i];
+    if (sym == 0) {
+      if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return -E_OVERFLOW;
+      memset(out_bwt + size, run_char, run);
+      size += run;
+      if (size == 0) return -E_EMPTY;
+      return size;
+    }
+    if (sym >= 256 && run <= MAX_BLOCK_SIZE) {
+      run += (uint64_t)(sym - 256) << shift;
+      shift++;
+      continue;
+    }
+    if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return -E_OVERFLOW;
+    memset(out_bwt + size, run_char, run);
+    size += run;
+    {
+      int r = sym;
+      uint8_t c = imtf[r];
+      memmove(imtf + 1, imtf, r);
+      imtf[0] = c;
+      run_char = c;
+    }
+    run = 1;
+    shift = 0;
+  }
+  return -E_UNTERM;
+}
+
+/* ------------------------------------------------------------------ */
 /* IBWT + derandomize + RLE1 expand + CRC (fused emit)                 */
 /* ------------------------------------------------------------------ */
 

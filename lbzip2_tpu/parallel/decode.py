@@ -113,8 +113,13 @@ def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
     With a SlotPool, RLE1 expansion emits into OUT_GRANUL-sized slot
     buffers and suspends (returning the live cursor) when the pool runs
     low — the parser finishes it in order with reserved slots."""
-    err, newpos, bwt, idx, rnd = native.retrieve_block(
-        arr, nbits, payload_pos)
+    if DEVICE_HUFF:
+        from lbzip2_tpu.ops.huffdec import decode_block_device
+        err, newpos, bwt, idx, rnd = decode_block_device(
+            arr, nbits, payload_pos)
+    else:
+        err, newpos, bwt, idx, rnd = native.retrieve_block(
+            arr, nbits, payload_pos)
     if err != 0:
         return {"err": err}
     if batcher is not None and not rnd:
@@ -206,6 +211,12 @@ _ERR_BY_VALUE = {e.value: e for e in Error}
 # fast gathers.
 DEVICE_IBWT = os.environ.get("LBZ2_DEVICE_DECODE", "0") == "1"
 _IBWT_N = 901120  # padded device row (covers MAX_BLOCK_SIZE)
+
+# Device Huffman stage (ops/huffdec.py): host boundary walk + parallel
+# on-device group decode + host IMTF/RLE2.  Opt-in like DEVICE_IBWT:
+# on this chip generation the host C retrieve wins on wall clock, but
+# the wiring is production-complete and corpus-verified.
+DEVICE_HUFF = os.environ.get("LBZ2_DEVICE_HUFF", "0") == "1"
 
 
 class _DeviceIbwtBatcher:
