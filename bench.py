@@ -80,7 +80,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    size = int(os.environ.get("BENCH_SIZE", str(80 * 900000)))
+    # 160 blocks: big enough that the hybrid pipeline's endgame (device
+    # inventory draining while hosts idle) is a small fraction of the run
+    size = int(os.environ.get("BENCH_SIZE", str(160 * 900000)))
     level = 9
     data = build_corpus(size)
 

@@ -60,9 +60,13 @@ _HOST_STEAL = os.environ.get("LBZ2_HOST_STEAL", "1") != "0"
 
 # Device entropy chain: run MTF+RLE2+EM+bit-pack on device and download
 # only compressed payloads (ops/chain.py), instead of downloading BWT
-# run tokens and running the C entropy stage on the host.  Opt-in: on a
-# tunneled chip with few host cores the token+host-entropy split
-# measures faster; flip on for local chips with saturated host cores.
+# run tokens and running the C entropy stage on the host.  Opt-in,
+# justified by measurement (tools/tpu_chain_probe.py on v5e-1, B=8 of
+# 900k): chain_mtf 248 ms + 8 EM E-steps at 171 ms + ~55 ms round trip
+# each ≈ 2.2 s/batch of added chip time vs ~0.1 s of saved host time —
+# the BWT-tokens split wins whenever host cores aren't the bottleneck.
+# The chain is bit-exact on chip (probe verifies rows) and becomes the
+# right default when the host:chip core ratio drops.
 _DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "0") == "1"
 
 
@@ -128,7 +132,8 @@ class _WorkPool:
         self.host_workers = host_workers
         self.use_device = use_device
         self.stats = {"device_blocks": 0, "host_blocks": 0,
-                      "periodic_blocks": 0}
+                      "periodic_blocks": 0, "host_idle_s": 0.0,
+                      "device_batches": [], "t0": time.time()}
 
     # --- queue primitives -------------------------------------------------
     def take_head(self, k: int) -> list[int]:
@@ -211,6 +216,8 @@ class _WorkPool:
         for row, (i, span) in enumerate(zip(ids, spans)):
             self.entropy_q.put((i, span, rows[row], int(primary[row])))
         self.stats["device_blocks"] += len(ids)
+        self.stats["device_batches"].append(
+            (len(ids), round(time.time() - self.stats["t0"], 2)))
 
     def _fetch_chain(self, ids, spans, task):
         """Device-chain completion: entropy-code on device, download
@@ -304,7 +311,9 @@ class _WorkPool:
                 if self.device_done and self.entropy_q.empty():
                     return
                 # queue drained but device still running: wait for work
+                _t = time.time()
                 item = self.entropy_q.get()
+                self.stats["host_idle_s"] += time.time() - _t
                 if item is not None:
                     self._do_entropy(item)
                 else:  # sticky sentinel: leave for others

@@ -388,7 +388,7 @@ def em_mstep(freqs: np.ndarray, as_arr: np.ndarray, nt_arr: np.ndarray,
     freqs: (B, 6, 259) uint32; as_arr/nt_arr: (B,) int32;
     lengths: (B, 6, 259) uint8, updated for trees < nt per row."""
     lib = get_lib()
-    assert freqs.dtype == np.uint32 and freqs.flags.c_contiguous
+    freqs = np.ascontiguousarray(freqs, np.uint32)
     assert lengths.dtype == np.uint8 and lengths.flags.c_contiguous
     lib.lbz2_em_mstep(
         freqs.ctypes.data_as(ctypes.c_void_p),
@@ -415,8 +415,8 @@ def chain_finish(selectors: np.ndarray, ngroups: np.ndarray,
     hdr_bits (B,) int32, payload_bits (B,) int64)."""
     lib = get_lib()
     B, G = selectors.shape
-    assert selectors.dtype == np.uint8 and selectors.flags.c_contiguous
-    assert freqs.dtype == np.uint32 and freqs.flags.c_contiguous
+    selectors = np.ascontiguousarray(selectors, np.uint8)
+    freqs = np.ascontiguousarray(freqs, np.uint32)
     assert lengths.dtype == np.uint8 and lengths.flags.c_contiguous
     codes = np.zeros((B, 6, 259), np.uint32)
     hdr = np.empty((B, _HDR_CAP), np.uint8)

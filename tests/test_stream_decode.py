@@ -59,3 +59,37 @@ def test_stream_corrupt_crc():
     s[25] ^= 1
     with pytest.raises(StreamError):
         _stream(bytes(s))
+
+
+def test_stream_single_pass_decode_work(monkeypatch):
+    """A large block arriving in 64 KiB chunks must decode in one pass.
+
+    The reference suspends retrieve at any bit (src/decode.c:387-407);
+    our streaming analogue pre-extends the window to the worst-case
+    payload bound before the authoritative decode, so the number of
+    retrieve calls stays O(blocks), not O(blocks x chunks)."""
+    import lbzip2_tpu.parallel.decode as pd
+
+    rng = np.random.default_rng(3)
+    # one near-full 900k block, poorly compressible -> large payload
+    data = rng.integers(0, 250, 880_000, dtype=np.uint8).tobytes()
+    stream = bz2.compress(data, 9)
+    assert len(stream) > 700_000  # spans many 64 KiB chunks
+
+    calls = {"n": 0}
+    real = native.retrieve_block
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pd.native, "retrieve_block", counting)
+    src = io.BytesIO(stream)
+    out = io.BytesIO()
+    pd.decompress_stream(src.read, out.write, n_workers=2,
+                         chunk_size=64 * 1024)
+    assert out.getvalue() == data
+    # 1 block: <= 1 speculative attempt (may hit window EOF) + 1
+    # authoritative single-pass decode; the old re-decode-on-growth
+    # behavior took ~12 calls here
+    assert calls["n"] <= 4, calls["n"]

@@ -1,9 +1,9 @@
-"""On-chip cost probe for the device encode-chain building blocks.
+"""On-chip cost probe for the production device encode-chain kernels.
 
-Measures, per (32, 901120) batch: cmap compaction (small-table gather
-vs popcount-mask formulation), MTF ranks (lax.scan vs Pallas), batched
-RLE2, EM E-step, and d2h/h2d round-trip latency — decides what gets
-wired into codec/encoder.py's device chain.
+Measures, per batch: chain_mtf (compact+MTF+RLE2+hist), one EM E-step,
+pack_groups, and the host M-step/round-trip overheads — the data that
+decides whether LBZ2_DEVICE_CHAIN should default on for a given
+chip/host combination.
 """
 import os
 import time
@@ -19,6 +19,7 @@ import numpy as np
 
 import bench
 from lbzip2_tpu import native
+from lbzip2_tpu.ops import chain
 
 
 def timed(label, fn, *args, reps=3):
@@ -31,130 +32,77 @@ def timed(label, fn, *args, reps=3):
         out = fn(*args)
         jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
-    print(f"{label}: {dt*1000:.1f} ms  (compile {tc:.1f} s)")
+    print(f"{label}: {dt*1000:.1f} ms  (first call {tc:.1f} s)")
     return out, dt
 
 
 def main():
-    B, N = 8, 901120  # smaller batch to keep probe compile time sane
+    B = int(os.environ.get("XB", "8"))
+    N = 901120
     data = bench.build_corpus(B * 900000)
     buf = np.frombuffer(data, np.uint8)
     blocks = native.rle1_collect(buf, 900000, 900000)
     bwts = np.zeros((B, N), np.uint8)
     ns = np.zeros(B, np.int32)
     cmaps = np.zeros((B, 256), np.uint8)
+    idxs = np.zeros(B, np.int32)
+    crcs = np.zeros(B, np.uint32)
     for i, (a, b, blk, cmap) in enumerate(blocks[:B]):
         brow, bidx = native.bwt(blk)
         bwts[i, :blk.size] = brow
         ns[i] = blk.size
         cmaps[i] = np.asarray(cmap, np.uint8)
+        idxs[i] = bidx
+        crcs[i] = (native.crc32_block(buf[a:b]) ^ 0xFFFFFFFF) & 0xFFFFFFFF
     d = jax.device_put(bwts)
-    dns = jax.device_put(ns)
-    dcm = jax.device_put(cmaps)
-    print(f"batch {B}x{N}")
+    dns = jax.device_put(jnp.asarray(ns))
+    dcm = jax.device_put(jnp.asarray(cmaps))
+    print(f"batch {B}x{N} ({B*0.9:.0f} MB)")
 
-    # --- cmap compaction ---------------------------------------------------
-    @jax.jit
-    def compact_gather(bwt, cmaps):
-        table = jnp.cumsum(cmaps.astype(jnp.int32), axis=1) - 1
-        return jnp.take_along_axis(table, bwt.astype(jnp.int32), axis=1)
+    (mtfv, nm, hist), _ = timed("chain_mtf", chain.chain_mtf, d, dns, dcm)
+    nm_h = np.asarray(nm)
+    print("  nm:", nm_h[:4])
 
-    @jax.jit
-    def compact_popcnt(bwt, cmaps):
-        # mask words: bit v of word w = cmap[32w+v]
-        bits = cmaps.reshape(B, 8, 32).astype(jnp.uint32)
-        w = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None],
-                    axis=2)  # (B, 8)
-        pre = jnp.cumsum(
-            jax.lax.population_count(w), axis=1) - \
-            jax.lax.population_count(w)  # (B, 8) prefix popcounts
-        v = bwt.astype(jnp.uint32)
-        hi = (v >> 5).astype(jnp.int32)  # word index 0..7
-        lo = v & 31
-        word = jnp.zeros_like(v)
-        base = jnp.zeros_like(v)
-        for k in range(8):
-            sel = hi == k
-            word = jnp.where(sel, w[:, k:k+1], word)
-            base = jnp.where(sel, pre[:, k:k+1].astype(jnp.uint32), base)
-        mask = jnp.where(lo == 0, jnp.uint32(0),
-                         (jnp.uint32(0xFFFFFFFF) >> (32 - lo)))
-        return (base + jax.lax.population_count(word & mask)).astype(
-            jnp.int32)
+    from lbzip2_tpu.core.constants import MAX_TREES
+    from lbzip2_tpu.ref.huffman import generate_initial_trees, num_trees_for
+    ninuse = cmaps.sum(axis=1, dtype=np.int32)
+    as_arr = ninuse + 2
+    nt_arr = np.array([num_trees_for(int(v)) for v in nm_h], np.int32)
+    hist_h = np.asarray(hist)
+    lengths = np.ones((B, MAX_TREES, 259), np.uint8)
+    for b in range(B):
+        lengths[b] = generate_initial_trees(
+            hist_h[b].astype(np.int64), int(nm_h[b]), int(nt_arr[b]))
+        lengths[b, :, as_arr[b]:] = 0
+    ninuse_dev = jnp.asarray(ninuse)
+    nt_dev = jnp.asarray(nt_arr)
 
-    s1, _ = timed("compact gather", compact_gather, d, dcm)
-    s2, _ = timed("compact popcnt", compact_popcnt, d, dcm)
-    print("  agree:", bool(jnp.all(jnp.where(
-        jnp.arange(N)[None] < dns[:, None], s1 == s2, True))))
+    (sel, freqs, ng), _ = timed(
+        "em_estep_batch", chain.em_estep_batch, mtfv, nm, ninuse_dev,
+        nt_dev, jnp.asarray(lengths))
 
-    syms = s1
-
-    # --- MTF ranks ----------------------------------------------------------
-    from lbzip2_tpu.ops.mtf import mtf_ranks_batched
-    ranks, _ = timed("mtf scan (batched)", mtf_ranks_batched, syms, dns)
-
-    # --- RLE2 ---------------------------------------------------------------
-    from lbzip2_tpu.ops.rle2 import rle2_batch
-    ninuse = jnp.sum(dcm.astype(jnp.int32), axis=1)
-    (mtfv, nm), _ = timed("rle2_batch", rle2_batch, ranks, dns, ninuse)
-
-    # verify row 0 vs oracle
-    from lbzip2_tpu.ref.mtf import mtf_rle2, make_cmap
-    want = mtf_rle2(bwts[0, :ns[0]], make_cmap(cmaps[0].astype(bool)),
-                    int(cmaps[0].sum()))
-    got = np.asarray(mtfv[0])[:int(nm[0])]
-    print("  mtfv row0 matches oracle:", np.array_equal(got, want),
-          f"(nm={int(nm[0])} vs {want.size})")
-
-    # --- EM E-step (batched, G groups) --------------------------------------
-    from lbzip2_tpu.core.constants import MAX_ALPHA_SIZE, MAX_TREES
-    G = (N + 1 + 49) // 50  # 18023 -> pad to 18048
-    G = ((G + 63) // 64) * 64
-
-    @jax.jit
-    def estep_batched(mtfv, nm, ninuse, lengths):
-        # pad mtfv beyond nm with per-row dummy symbol as = eob+1
-        Bq, NP = mtfv.shape
-        as_ = (ninuse + 2)[:, None]
-        idx = jnp.arange(G * 50, dtype=jnp.int32)[None]
-        g = jnp.where(idx < NP, 1, 0)
-        padded = jnp.where(
-            idx < nm[:, None],
-            jnp.pad(mtfv, ((0, 0), (0, G * 50 - NP))), as_)
-        groups = padded.reshape(Bq, G, 50)
-        # costs[b, t, g] via small-table gather per tree
-        costs = jnp.stack([
-            jnp.take_along_axis(
-                lengths[:, t, :].astype(jnp.int32)[:, None, :],
-                groups, axis=2).sum(axis=2)
-            for t in range(MAX_TREES)
-        ], axis=1)  # (B, 6, G)
-        lanes = costs
-        sel = jnp.argmin(lanes, axis=1).astype(jnp.int32)  # (B, G)
-        width = MAX_ALPHA_SIZE + 1
-        flat = sel[:, :, None] * width + groups
-        oh = jax.nn.one_hot(flat.reshape(Bq, -1),
-                            MAX_TREES * width, dtype=jnp.float32)
-        freqs = oh.sum(axis=1).reshape(Bq, MAX_TREES, width)
-        return sel, freqs
-
-    lengths = jnp.ones((B, MAX_TREES, MAX_ALPHA_SIZE + 1), jnp.uint8)
-    (sel, freqs), _ = timed("em E-step (gather+onehot hist)",
-                            estep_batched, mtfv, nm, ninuse, lengths)
-
-    # --- round-trip latency --------------------------------------------------
-    tiny = jax.device_put(np.zeros(64, np.int32))
-    f = jax.jit(lambda x: x + 1)
-    _ = np.asarray(f(tiny))
     t0 = time.time()
-    for _ in range(10):
-        _ = np.asarray(f(tiny))
-    print(f"tiny kernel+download RTT: {(time.time()-t0)/10*1000:.1f} ms")
-    up = np.zeros((B, 6, 259), np.uint8)
+    freqs_h = np.asarray(freqs).astype(np.uint32)
+    print(f"freqs download: {(time.time()-t0)*1000:.1f} ms")
     t0 = time.time()
-    for _ in range(10):
-        _ = jax.device_put(up).block_until_ready()
-    print(f"lengths upload RTT: {(time.time()-t0)/10*1000:.1f} ms")
+    native.em_mstep(freqs_h, as_arr, nt_arr, lengths)
+    print(f"host M-step: {(time.time()-t0)*1000:.1f} ms")
+    t0 = time.time()
+    _ = jax.device_put(jnp.asarray(lengths)).block_until_ready()
+    print(f"lengths upload: {(time.time()-t0)*1000:.1f} ms")
+
+    # full EM + finish + pack, end to end
+    t0 = time.time()
+    payloads = chain.chain_payloads(d, ns, cmaps, idxs, crcs)
+    dt = time.time() - t0
+    okn = sum(p is not None for p in payloads)
+    print(f"chain_payloads end-to-end: {dt*1000:.0f} ms "
+          f"({B*0.9/dt:.1f} MB/s for this stage), {okn}/{B} packed")
+    # verify
+    for b in range(min(2, B)):
+        want = native.encode_payload(bwts[b, :ns[b]], cmaps[b],
+                                     int(idxs[b]), int(crcs[b]), 8)
+        print(f"  row {b} exact: {payloads[b] == want}")
 
 
 if __name__ == "__main__":
