@@ -189,6 +189,13 @@ class _WorkPool:
                             tasks.append(item)
                     if not tasks:
                         break
+                    # Depth-first: drive the OLDEST task whenever it is
+                    # ready so completions stream out one batch at a
+                    # time (entropy work reaches the host workers
+                    # early); younger tasks only fill the gaps while
+                    # the oldest task's kernels are still on the chip.
+                    # Round-robin stepping finished every batch at the
+                    # same instant and idled the hosts until then.
                     progressed = False
                     for item in list(tasks):
                         ids, spans, task = item
@@ -199,6 +206,7 @@ class _WorkPool:
                             fetches.append(fetcher.submit(
                                 self._fetch_task, ids, spans, task))
                             tasks.remove(item)
+                        break  # restart from the oldest task
                     if not progressed:
                         time.sleep(0.002)
                 for f in fetches:
