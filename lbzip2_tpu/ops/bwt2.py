@@ -271,115 +271,6 @@ def bwt2_full(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
     return raw, primary
 
 
-# ---------------------------------------------------------------------------
-# Compact-tail passes: once few ties survive, work on the unresolved
-# set only.  r1/wpos are (B, C) compacted arrays in rank order (INF/N
-# at dead lanes); lookups gather from the full ISA (cheap at small C).
-# ---------------------------------------------------------------------------
-
-
-@jax.jit
-def compact(ISA: jnp.ndarray, k: jnp.ndarray, ns: jnp.ndarray):
-    """Full-width pass that additionally emits the compacted tie set.
-
-    Returns (ISA', cnt, r1 (B,N), wpos (B,N)): r1/wpos hold unresolved
-    (rank, position) pairs compacted to the front in rank order; the
-    caller slices them to the next power-of-two capacity.
-    """
-    B, N = ISA.shape
-    idxB = _iota(B, N)
-    nB = ns[:, None]
-    ext = _extend(ISA, idxB, nB, N)
-
-    def at(off):
-        off = jnp.minimum(off, jnp.int32(N))
-        return jax.lax.dynamic_slice(ext, (jnp.int32(0), off), (B, N))
-
-    r1 = jnp.where(idxB < nB, ISA, _INF)
-    r2, r3, r4 = at(k), at(2 * k), at(3 * k)
-    r3 = jnp.where(idxB + 2 * k < 2 * N, r3, nB - (idxB + 2 * k) - _BIG)
-    r4 = jnp.where(idxB + 3 * k < 2 * N, r4, nB - (idxB + 3 * k) - _BIG)
-    sr1, sr2, sr3, sr4, spos = jax.lax.sort(
-        (r1, r2, r3, r4, idxB), num_keys=4, dimension=1)
-    st = _starts((sr1, sr2, sr3, sr4))
-    newr = _rank_from_sorted(st, idxB)
-    run_end = jnp.pad(st[:, 1:], ((0, 0), (0, 1)), constant_values=True)
-    keep = (~(st & run_end)) & (spos < nB)
-    cnt = jnp.sum(keep, axis=1, dtype=jnp.int32)
-    ISA2 = _invert(newr, spos, nB, B, N)
-    ck, cr1, cw = jax.lax.sort(
-        ((~keep).astype(jnp.int32), newr, spos), num_keys=1, dimension=1)
-    cr1 = jnp.where(ck == 0, cr1, _INF)
-    cw = jnp.where(ck == 0, cw, N)
-    return ISA2, cnt, cr1, cw
-
-
-def _tail_body(ISA, r1, wpos, k, cnt, ns):
-    """One x4 pass over the compacted tie set at capacity C."""
-    B, N = ISA.shape
-    C = r1.shape[1]
-    laneC = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B, C))
-    rows = _rows(B)
-    nB = ns[:, None]
-    dead = wpos >= nB
-
-    def look(off):
-        j = wpos + off
-        v = jnp.take_along_axis(ISA, jnp.where(j < nB, j, 0), axis=1)
-        return jnp.where(j < nB, v, nB - j - _BIG)
-
-    r2 = jnp.where(dead, laneC - _BIG, look(k))
-    r3 = jnp.where(dead, laneC - _BIG, look(2 * k))
-    r4 = jnp.where(dead, laneC - _BIG, look(3 * k))
-    sr1, sr2, sr3, sr4, sw = jax.lax.sort(
-        (r1, r2, r3, r4, wpos), num_keys=4, dimension=1)
-    st = _starts((sr1, sr2, sr3, sr4))
-    # in-class offset: rank = class base (sr1) + slot within class
-    g = jnp.pad(sr1[:, 1:] != sr1[:, :-1], ((0, 0), (1, 0)),
-                constant_values=True)
-    grp = jax.lax.cummax(jnp.where(g, laneC, 0), axis=1)
-    run = jax.lax.cummax(jnp.where(st, laneC, 0), axis=1)
-    newr = sr1 + (run - grp)
-    run_end = jnp.pad(st[:, 1:], ((0, 0), (0, 1)), constant_values=True)
-    keep = (~(st & run_end)) & (sw < nB)
-    cnt = jnp.sum(keep, axis=1, dtype=jnp.int32)
-    ISA = ISA.at[rows, jnp.where(sw < nB, sw, N)].set(newr, mode="drop")
-    ck, nr1, nw = jax.lax.sort(
-        ((~keep).astype(jnp.int32), newr, sw), num_keys=1, dimension=1)
-    nr1 = jnp.where(ck == 0, nr1, _INF)
-    nw = jnp.where(ck == 0, nw, N)
-    return ISA, nr1, nw, k * 4, cnt
-
-
-_MIN_CAP = 4096
-
-
-@jax.jit
-def tail_level(ISA, r1, wpos, k, cnt, ns):
-    """x4 passes at one static capacity until resolved or shrinkable."""
-    C = r1.shape[1]
-    floor = C <= _MIN_CAP
-
-    def cond(carry):
-        _, _, _, _, cnt = carry
-        m = jnp.max(cnt)
-        shrinkable = jnp.bool_(True) if floor else (m > C // 2)
-        return shrinkable & (m > 0)
-
-    def body(carry):
-        ISA, r1, wpos, k, cnt = carry
-        return _tail_body(ISA, r1, wpos, k, cnt, ns)
-
-    return jax.lax.while_loop(cond, body, (ISA, r1, wpos, k, cnt))
-
-
-def _pow2cap(x: int, N: int) -> int:
-    c = _MIN_CAP
-    while c < x:
-        c *= 2
-    return min(c, N)
-
-
 class Bwt2Task:
     """Resumable device BWT of one (B, N) batch of Lyndon conjugates.
 
@@ -391,9 +282,6 @@ class Bwt2Task:
     (from native.lyndon_prep).  Rows must be primitive (m >= 0).
     """
 
-    # switch to compact-tail passes when max unresolved < N / _TAIL_DIV
-    _TAIL_DIV = 8
-
     def __init__(self, blocks_np, ns, ms, emit: str = "tokens"):
         B, N = blocks_np.shape
         self.N = N
@@ -404,7 +292,6 @@ class Bwt2Task:
         self.ISA, self.cnt = seed16(self.blocks, self.ns)
         self.k = 16
         self.emit = emit  # "tokens" (host download) | "bytes" (chain)
-        self.tail = None  # (r1, wpos) once compacted
         self.out = None
         self.done = False
 
@@ -436,11 +323,12 @@ class Bwt2Task:
                 except AttributeError:
                     pass
         else:
-            # Full-width passes only: the compact-tail variant saves a
-            # little compute but compiles one program per capacity,
-            # which the remote-compile tunnel turns into minutes of
-            # warmup; three programs per bucket (seed/pass/emit) keep
-            # the compile surface flat.
+            # Full-width passes only: a compact-tail variant (work on
+            # the unresolved set once it shrinks) was measured and
+            # rejected — it compiles one program per capacity, which
+            # the remote-compile tunnel turns into minutes of warmup;
+            # three programs per bucket (seed/pass/emit) keep the
+            # compile surface flat (see git history for the variant).
             self.ISA, self.cnt = pass8(self.ISA, jnp.int32(self.k),
                                        self.ns)
             self.k *= 8
