@@ -172,23 +172,39 @@ class _WorkPool:
         try:
             from lbzip2_tpu.ops.bwt2 import Bwt2Task
             tasks = []  # (ids, spans, task)
+            builds = []  # in-flight _make_task futures
             # result() blocks on the device->host copy (~1 s per batch
             # over the tunnel); fetch on the side so stepping of other
-            # batches overlaps the wire.
-            with ThreadPoolExecutor(max_workers=2,
+            # batches overlaps the wire.  Task construction (lyndon
+            # prep + batch assembly + upload, ~0.4 s of host work) also
+            # runs on the side pool: built serially in this thread it
+            # stalls the kernel pipeline between batches.
+            with ThreadPoolExecutor(max_workers=3,
                                     thread_name_prefix="lbz2-fetch"
                                     ) as fetcher:
                 fetches = []
+                drained = False
                 while True:
-                    while len(tasks) < _INFLIGHT:
+                    while not drained and len(tasks) + len(builds) < \
+                            _INFLIGHT:
                         ids = self.take_head(_BATCH)
                         if not ids:
+                            drained = True
                             break
-                        item = self._make_task(ids, Bwt2Task)
+                        builds.append(fetcher.submit(
+                            self._make_task, ids, Bwt2Task))
+                    for f in [f for f in builds if f.done()]:
+                        builds.remove(f)
+                        item = f.result()
                         if item is not None:
                             tasks.append(item)
                     if not tasks:
-                        break
+                        if builds:
+                            time.sleep(0.002)
+                            continue
+                        if drained:
+                            break
+                        continue
                     # Depth-first: drive the OLDEST task whenever it is
                     # ready so completions stream out one batch at a
                     # time (entropy work reaches the host workers
