@@ -282,6 +282,12 @@ class Bwt2Task:
     (from native.lyndon_prep).  Rows must be primitive (m >= 0).
     """
 
+    # speculative dispatch-ahead depth: a pass applied to an already-
+    # resolved ISA is the identity, so running one pass "too many"
+    # while the previous pass's unresolved count is still in flight is
+    # safe and hides the per-pass count-download round trip
+    _AHEAD = 2
+
     def __init__(self, blocks_np, ns, ms, emit: str = "tokens"):
         B, N = blocks_np.shape
         self.N = N
@@ -289,18 +295,43 @@ class Bwt2Task:
         self.blocks = jax.device_put(np.ascontiguousarray(blocks_np))
         self.ns = jax.device_put(np.asarray(ns, np.int32))
         self.ms = jax.device_put(np.asarray(ms, np.int32))
-        self.ISA, self.cnt = seed16(self.blocks, self.ns)
+        self.ISA, cnt = seed16(self.blocks, self.ns)
+        self.pending = [cnt]  # unread unresolved-counts, oldest first
         self.k = 16
         self.emit = emit  # "tokens" (host download) | "bytes" (chain)
         self.out = None
         self.done = False
 
-    def ready(self) -> bool:
-        probe = self.out[0] if self.out is not None else self.cnt
+    @staticmethod
+    def _is_ready(a) -> bool:
         try:
-            return probe.is_ready()
+            return a.is_ready()
         except AttributeError:
             return True
+
+    def ready(self) -> bool:
+        if self.out is not None:
+            return self._is_ready(self.out[0])
+        if self.pending and self._is_ready(self.pending[0]):
+            return True
+        # room to dispatch another speculative pass?
+        return len(self.pending) < self._AHEAD and self.k <= 8 * self.N
+
+    def _emit(self):
+        if self.emit == "bytes":
+            self.out = emit_bytes(self.blocks, self.ISA, self.ns,
+                                  self.ms)
+            return
+        self.out = emit2(self.blocks, self.ISA, self.ns, self.ms)
+        # start the d2h copies now so the wire overlaps later batches'
+        # kernels: metadata, plus the token payload itself (~0.5x raw
+        # bytes, the big transfer).  raw is fetched only on token
+        # overflow (rare), so it is not copied eagerly.
+        for a in (self.out[0], self.out[2], self.out[3]):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
 
     def step(self) -> bool:
         if self.done:
@@ -308,30 +339,32 @@ class Bwt2Task:
         if self.out is not None:
             self.done = True
             return True
-        m = int(np.max(np.asarray(self.cnt)))
-        if m == 0:
-            if self.emit == "bytes":
-                self.out = emit_bytes(self.blocks, self.ISA, self.ns,
-                                      self.ms)
+        # consume any landed counts (oldest first)
+        while self.pending and self._is_ready(self.pending[0]):
+            if int(np.max(np.asarray(self.pending.pop(0)))) == 0:
+                # resolved; later speculative passes were identities,
+                # so the latest ISA equals the resolved one
+                self.pending.clear()
+                self._emit()
                 return False
-            self.out = emit2(self.blocks, self.ISA, self.ns, self.ms)
-            # start the cheap d2h copies now; the fetch thread picks
-            # tokens vs raw once the run counts land
-            for a in (self.out[2], self.out[3]):
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    pass
-        else:
+        if len(self.pending) < self._AHEAD and self.k <= 8 * self.N:
             # Full-width passes only: a compact-tail variant (work on
             # the unresolved set once it shrinks) was measured and
             # rejected — it compiles one program per capacity, which
             # the remote-compile tunnel turns into minutes of warmup;
             # three programs per bucket (seed/pass/emit) keep the
             # compile surface flat (see git history for the variant).
-            self.ISA, self.cnt = pass8(self.ISA, jnp.int32(self.k),
-                                       self.ns)
+            self.ISA, cnt = pass8(self.ISA, jnp.int32(self.k), self.ns)
+            self.pending.append(cnt)
             self.k *= 8
+        elif not self.pending:
+            # k exceeded every possible tie distance: resolved
+            self._emit()
+        else:
+            # ahead-limit reached: block on the oldest count
+            if int(np.max(np.asarray(self.pending.pop(0)))) == 0:
+                self.pending.clear()
+                self._emit()
         return False
 
     def result_device(self):
