@@ -131,6 +131,8 @@ class _WorkPool:
         self.device_done = not use_device
         self.host_workers = host_workers
         self.use_device = use_device
+        self.claimed: set[int] = set()  # device-claimed, undelivered
+        self.abandoned = False
         self.stats = {"device_blocks": 0, "host_blocks": 0,
                       "periodic_blocks": 0, "host_idle_s": 0.0,
                       "device_batches": [], "t0": time.time()}
@@ -146,6 +148,7 @@ class _WorkPool:
                 k = 8 if remaining >= 16 else max(1, remaining // 2)
             got = self.ids[self.head:min(self.head + k, self.tail)]
             self.head += len(got)
+            self.claimed.update(got)
             return got
 
     def take_tail(self) -> int | None:
@@ -158,6 +161,7 @@ class _WorkPool:
     def put_result(self, i, payload_crc):
         with self.res_cv:
             self.results[i] = payload_crc
+            self.claimed.discard(i)
             self.res_cv.notify_all()
 
     def fail(self, exc):
@@ -367,15 +371,43 @@ class _WorkPool:
                                  name=f"lbz2-host{w}", daemon=True)
             t.start()
             threads.append(t)
+        # Watchdog: the device tunnel goes through multi-minute
+        # outages; if the device engine stops delivering while blocks
+        # it claimed are outstanding, requeue them as host work so the
+        # stream always completes (the stuck engine's late duplicates,
+        # if any, are discarded at pop time).
+        stall_s = float(os.environ.get("LBZ2_DEVICE_STALL_S", "180"))
+        delivered = 0
+        waited = 0.0
+        seen = 0  # results observed at last stall check
         for i in range(len(self.blocks)):
             with self.res_cv:
                 while i not in self.results and self.error is None:
-                    self.res_cv.wait()
+                    self.res_cv.wait(timeout=5.0)
+                    if i in self.results or self.error is not None:
+                        break
+                    progress = delivered + len(self.results)
+                    if progress != seen:  # stream alive: reset clock
+                        seen = progress
+                        waited = 0.0
+                        continue
+                    waited += 5.0
+                    if waited >= stall_s and not self.abandoned and \
+                            self.claimed:
+                        self.abandoned = True
+                        stuck = sorted(self.claimed)
+                        self.device_done = True
+                        for j in stuck:
+                            self.entropy_q.put(
+                                (j, self.blocks[j], None, -1))
                 if self.error is not None:
                     raise self.error
+            delivered += 1
             yield self.results.pop(i)
         for t in threads:
-            t.join()
+            # a device thread stuck on a dead tunnel never joins; all
+            # threads are daemons, so leave it behind after abandonment
+            t.join(timeout=None if not self.abandoned else 1.0)
         if self.error is not None:
             raise self.error
 
