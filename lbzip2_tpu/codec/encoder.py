@@ -143,6 +143,8 @@ class _WorkPool:
         of 8 near the end, at most half the remainder — so host
         tail-stealing always keeps its share of a short queue."""
         with self.q_lock:
+            if self.abandoned:  # watchdog fired: stop claiming
+                return []
             remaining = self.tail - self.head
             if remaining < 2 * k:
                 k = 8 if remaining >= 16 else max(1, remaining // 2)
@@ -159,9 +161,10 @@ class _WorkPool:
             return self.ids[self.tail]
 
     def put_result(self, i, payload_crc):
+        with self.q_lock:  # claimed is mutated under q_lock only
+            self.claimed.discard(i)
         with self.res_cv:
             self.results[i] = payload_crc
-            self.claimed.discard(i)
             self.res_cv.notify_all()
 
     def fail(self, exc):
@@ -232,7 +235,11 @@ class _WorkPool:
                 for f in fetches:
                     f.result()  # propagate fetch errors
         except BaseException as e:  # noqa: BLE001
-            self.fail(e)
+            # after watchdog abandonment the stream completes via the
+            # host requeue; a late error from the wedged engine must
+            # not fail a stream whose blocks all encoded fine
+            if not self.abandoned:
+                self.fail(e)
         finally:
             self.device_done = True
             self.entropy_q.put(None)  # sticky wake-up sentinel
@@ -376,7 +383,9 @@ class _WorkPool:
         # it claimed are outstanding, requeue them as host work so the
         # stream always completes (the stuck engine's late duplicates,
         # if any, are discarded at pop time).
-        stall_s = float(os.environ.get("LBZ2_DEVICE_STALL_S", "180"))
+        # default sits well above the worst observed single remote
+        # compile (~85 s) so a cold cache can't trigger a false stall
+        stall_s = float(os.environ.get("LBZ2_DEVICE_STALL_S", "300"))
         delivered = 0
         waited = 0.0
         seen = 0  # results observed at last stall check
@@ -394,12 +403,18 @@ class _WorkPool:
                     waited += 5.0
                     if waited >= stall_s and not self.abandoned and \
                             self.claimed:
+                        # order matters for liveness: stop new claims
+                        # (abandoned), requeue the stuck work, and only
+                        # then set device_done — a worker observing
+                        # (device_done and empty queue) between these
+                        # steps would exit with work still pending
                         self.abandoned = True
-                        stuck = sorted(self.claimed)
-                        self.device_done = True
+                        with self.q_lock:  # take_head mutates claimed
+                            stuck = sorted(self.claimed)
                         for j in stuck:
                             self.entropy_q.put(
                                 (j, self.blocks[j], None, -1))
+                        self.device_done = True
                 if self.error is not None:
                     raise self.error
             delivered += 1
