@@ -9,15 +9,23 @@ Stage map vs the reference pipeline (src/compress.c tasks):
 
 Scheduling is the lbzip2 work pool (src/process.c:436-462) over
 heterogeneous engines: a device engine groups blocks into fixed-shape
-(B, N) batches driven by resumable Bwt2Tasks, stepping several batches
-round-robin so the tunnel round-trips of one batch hide behind the
-kernels of the others, while host workers run the C entropy stage for
-finished device BWTs and — whenever the device is saturated and no
-entropy work is queued — steal whole blocks from the tail of the queue
-for host-side BWT.  The device takes blocks from the head, the host
-from the tail; they meet in the middle, so each engine contributes its
-full throughput.  Fully-periodic blocks (no Lyndon conjugate) always
-take the host path — their tie order is a host-side convention.
+(B, N) batches, each resolved by ONE device program (ops/bwt2.py
+bwt2_tokens: seed + on-chip while_loop of rank passes + token emit),
+with several batches in flight so uploads, kernels, downloads, and
+host token expansion overlap.  Host workers run the C entropy stage
+for finished device BWTs and — whenever no entropy work is queued —
+steal whole blocks from the tail of the queue for host-side encode.
+The device takes blocks from the head, the host from the tail; they
+meet in the middle, so each engine contributes its full throughput.
+
+The hybrid can never lose to host-only (the reference's worst-case
+property, src/parse.c:56-69): device-*claimed* blocks stay stealable —
+when the host would otherwise idle (cold ~45-85 s remote compile,
+wedged tunnel, end-of-stream drain) it steals claimed blocks back and
+encodes them itself; whichever engine finishes a block first wins and
+the loser's late duplicate is dropped.  Fully-periodic blocks (no
+Lyndon conjugate) always take the host path — their tie order is a
+host-side convention.
 """
 
 from __future__ import annotations
@@ -57,6 +65,15 @@ _DEVICE = os.environ.get("LBZ2_DEVICE", "1") != "0"
 
 # Diagnostic: disable host tail-stealing (device-only block encode).
 _HOST_STEAL = os.environ.get("LBZ2_HOST_STEAL", "1") != "0"
+
+# Steal-back of device-claimed blocks when the host would otherwise
+# idle.  Grace period: steal only when the device has not completed a
+# batch for this long (0 completions ever = steal immediately, which
+# covers the cold-compile window).  In steady state completions arrive
+# every couple of seconds, so no duplicate work happens.
+_STEALBACK = os.environ.get("LBZ2_STEALBACK", "1") != "0"
+_STEALBACK_GRACE_S = float(os.environ.get("LBZ2_STEALBACK_GRACE_S",
+                                          "10"))
 
 # Device entropy chain: run MTF+RLE2+EM+bit-pack on device and download
 # only compressed payloads (ops/chain.py), instead of downloading BWT
@@ -133,9 +150,15 @@ class _WorkPool:
         self.use_device = use_device
         self.claimed: set[int] = set()  # device-claimed, undelivered
         self.abandoned = False
+        self.complete = False  # every block delivered; engines may bail
+        self.next_deliver = 0  # results below this are stale duplicates
+        self.last_batch_t = 0.0  # monotonic t of last device completion
+        self.fetch_q: queue.Queue = queue.Queue()
+        self.fetch_pending = 0  # dispatched batches not yet fetched
         self.stats = {"device_blocks": 0, "host_blocks": 0,
-                      "periodic_blocks": 0, "host_idle_s": 0.0,
-                      "device_batches": [], "t0": time.time()}
+                      "periodic_blocks": 0, "stale_rows": 0,
+                      "host_idle_s": 0.0, "device_batches": [],
+                      "batch_trace": [], "t0": time.time()}
 
     # --- queue primitives -------------------------------------------------
     def take_head(self, k: int) -> list[int]:
@@ -160,11 +183,38 @@ class _WorkPool:
             self.tail -= 1
             return self.ids[self.tail]
 
+    def take_claimed(self) -> int | None:
+        """Steal back a device-claimed block (cold compile, wedged
+        tunnel, end-of-stream drain).  Takes the youngest claim: the
+        device completes oldest batches first, so the youngest is the
+        least likely to be seconds from delivery.  First result wins;
+        the loser's late duplicate is dropped by put_result."""
+        if self.last_batch_t and \
+                time.time() - self.last_batch_t < _STEALBACK_GRACE_S:
+            return None  # device is streaming: don't duplicate work
+        with self.q_lock:
+            if not self.claimed:
+                return None
+            i = max(self.claimed)
+            self.claimed.discard(i)
+            return i
+
+    def unclaim(self, i):
+        with self.q_lock:
+            self.claimed.discard(i)
+
+    def is_stale(self, i) -> bool:
+        """True once some engine already produced block i."""
+        with self.res_cv:
+            return i < self.next_deliver or i in self.results
+
     def put_result(self, i, payload_crc):
         with self.q_lock:  # claimed is mutated under q_lock only
             self.claimed.discard(i)
         with self.res_cv:
-            self.results[i] = payload_crc
+            # first result wins; a slower engine's duplicate is dropped
+            if i >= self.next_deliver and i not in self.results:
+                self.results[i] = payload_crc
             self.res_cv.notify_all()
 
     def fail(self, exc):
@@ -175,97 +225,150 @@ class _WorkPool:
 
     # --- device engine ----------------------------------------------------
     def device_loop(self):
-        from concurrent.futures import ThreadPoolExecutor
         try:
-            from lbzip2_tpu.ops.bwt2 import Bwt2Task
-            tasks = []  # (ids, spans, task)
-            builds = []  # in-flight _make_task futures
-            # result() blocks on the device->host copy (~1 s per batch
-            # over the tunnel); fetch on the side so stepping of other
-            # batches overlaps the wire.  Task construction (lyndon
-            # prep + batch assembly + upload, ~0.4 s of host work) also
-            # runs on the side pool: built serially in this thread it
-            # stalls the kernel pipeline between batches.
-            with ThreadPoolExecutor(max_workers=3,
-                                    thread_name_prefix="lbz2-fetch"
-                                    ) as fetcher:
-                fetches = []
-                drained = False
-                while True:
-                    while not drained and len(tasks) + len(builds) < \
-                            _INFLIGHT:
-                        ids = self.take_head(_BATCH)
-                        if not ids:
-                            drained = True
-                            break
-                        builds.append(fetcher.submit(
-                            self._make_task, ids, Bwt2Task))
-                    for f in [f for f in builds if f.done()]:
-                        builds.remove(f)
-                        item = f.result()
-                        if item is not None:
-                            tasks.append(item)
-                    if not tasks:
-                        if builds:
-                            time.sleep(0.002)
-                            continue
-                        if drained:
-                            break
-                        continue
-                    # Depth-first: drive the OLDEST task whenever it is
-                    # ready so completions stream out one batch at a
-                    # time (entropy work reaches the host workers
-                    # early); younger tasks only fill the gaps while
-                    # the oldest task's kernels are still on the chip.
-                    # Round-robin stepping finished every batch at the
-                    # same instant and idled the hosts until then.
-                    progressed = False
-                    for item in list(tasks):
-                        ids, spans, task = item
-                        if not task.ready():
-                            continue
-                        progressed = True
-                        if task.step():
-                            fetches.append(fetcher.submit(
-                                self._fetch_task, ids, spans, task))
-                            tasks.remove(item)
-                        break  # restart from the oldest task
-                    if not progressed:
-                        time.sleep(0.002)
-                for f in fetches:
-                    f.result()  # propagate fetch errors
+            self._device_pipeline()
         except BaseException as e:  # noqa: BLE001
-            # after watchdog abandonment the stream completes via the
-            # host requeue; a late error from the wedged engine must
-            # not fail a stream whose blocks all encoded fine
-            if not self.abandoned:
+            # after watchdog abandonment (or completion via steal-back)
+            # the stream is already whole; a late error from the wedged
+            # engine must not fail it
+            if not (self.abandoned or self.complete):
                 self.fail(e)
         finally:
             self.device_done = True
             self.entropy_q.put(None)  # sticky wake-up sentinel
 
-    def _fetch_task(self, ids, spans, task):
-        if task.emit == "bytes":
-            return self._fetch_chain(ids, spans, task)
-        rows, primary = task.result()
-        for row, (i, span) in enumerate(zip(ids, spans)):
-            self.entropy_q.put((i, span, rows[row], int(primary[row])))
-        self.stats["device_blocks"] += len(ids)
-        self.stats["device_batches"].append(
-            (len(ids), round(time.time() - self.stats["t0"], 2)))
+    def _device_pipeline(self):
+        """One bwt2_tokens/bwt2_bytes dispatch per batch.
 
-    def _fetch_chain(self, ids, spans, task):
+        This thread claims, preps, uploads, and dispatches; daemon
+        fetch workers block on the d2h copies and expand tokens, so
+        the wire and the host expansion overlap the next batches'
+        kernels.  In-flight depth stays at 1 until the first batch
+        completes (remote compiles are ~45-85 s and uncached across
+        processes); with host steal-back of claimed blocks a cold
+        cache therefore costs the stream almost nothing.
+        """
+        import jax
+        from lbzip2_tpu.ops.bwt2 import bwt2_bytes, bwt2_tokens
+        nfetchers = 2
+        for w in range(nfetchers):
+            threading.Thread(target=self._fetch_worker,
+                             name=f"lbz2-fetch{w}", daemon=True).start()
+        try:
+            while not (self.abandoned or self.complete):
+                if self.error is not None:
+                    break
+                # depth 1 while cold: don't queue claims behind an
+                # unproven (possibly compiling/wedged) first batch
+                cap = _INFLIGHT if self.stats["device_batches"] else 1
+                if self.fetch_pending >= cap:
+                    time.sleep(0.005)
+                    continue
+                ids = self.take_head(_BATCH)
+                if not ids:
+                    break  # fall through to the drain: the sticky
+                    # entropy sentinel must trail every in-flight
+                    # fetch's items or host workers exit early
+                built = self._build_batch(ids)
+                if built is None:
+                    continue
+                ids, spans, batch, ns, ms, tele = built
+                t0 = time.time()
+                if _DEVICE_CHAIN:
+                    outs = bwt2_bytes(jax.device_put(batch),
+                                      jax.device_put(ns),
+                                      jax.device_put(ms))
+                else:
+                    outs = bwt2_tokens(jax.device_put(batch),
+                                       jax.device_put(ns),
+                                       jax.device_put(ms))
+                    # start d2h of everything except the raw fallback
+                    # rows so the wire overlaps later batches' kernels
+                    for a in (outs[0], outs[2], outs[3]):
+                        try:
+                            a.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                tele["dispatch_s"] = round(time.time() - t0, 3)
+                with self.q_lock:
+                    self.fetch_pending += 1
+                self.fetch_q.put((ids, spans, outs, tele))
+            # drain: fetch workers finish in the background; bail early
+            # if the stream completes or the watchdog fires
+            while self.fetch_pending > 0 and not (self.abandoned or
+                                                  self.complete):
+                time.sleep(0.05)
+        finally:
+            for _ in range(nfetchers):
+                self.fetch_q.put(None)
+
+    def _fetch_worker(self):
+        while True:
+            item = self.fetch_q.get()
+            if item is None:
+                return
+            try:
+                if _DEVICE_CHAIN:
+                    self._fetch_chain(*item)
+                else:
+                    self._fetch_tokens(*item)
+            except BaseException as e:  # noqa: BLE001
+                if not (self.abandoned or self.complete):
+                    self.fail(e)
+                return
+            finally:
+                with self.q_lock:
+                    self.fetch_pending -= 1
+
+    def _fetch_tokens(self, ids, spans, outs, tele):
+        """Blocking half of a batch: wait for the program + d2h copies,
+        expand run tokens to BWT rows, queue entropy work."""
+        tokens, raw, run_counts, primary = outs
+        t0 = time.time()
+        counts = np.asarray(run_counts)  # sync point: program + d2h
+        prim = np.asarray(primary)
+        tele["ready_s"] = round(time.time() - t0, 3)
+        t1 = time.time()
+        cap = tokens.shape[1] * 2
+        tok = None
+        fresh = stale = 0
+        for row, (i, span) in enumerate(zip(ids, spans)):
+            if self.is_stale(i):  # host steal-back beat us to it
+                stale += 1
+                continue
+            n = span.data.size
+            if counts[row] <= cap:
+                if tok is None:
+                    tok = np.asarray(tokens).view(np.uint16).reshape(
+                        counts.shape[0], -1)
+                t = tok[row, :counts[row]]
+                brow = np.repeat((t >> 8).astype(np.uint8),
+                                 t & 0xFF)[:n]
+            else:  # near-incompressible row: fetch its raw bytes only
+                brow = np.asarray(raw[row]).view(np.uint8)[:n]
+            self.entropy_q.put((i, span, brow, int(prim[row])))
+            fresh += 1
+        tele["expand_s"] = round(time.time() - t1, 3)
+        tele["done_t"] = round(time.time() - self.stats["t0"], 2)
+        self.last_batch_t = time.time()
+        self.stats["device_blocks"] += fresh
+        self.stats["stale_rows"] += stale
+        self.stats["device_batches"].append((fresh, tele["done_t"]))
+        self.stats["batch_trace"].append(tele)
+
+    def _fetch_chain(self, ids, spans, outs, tele):
         """Device-chain completion: entropy-code on device, download
         payloads; rows that overflow the pack capacity re-encode on
         the host via the entropy queue."""
         from lbzip2_tpu.ops.chain import chain_payloads
-        bwt_dev, primary = task.result_device()
+        bwt_dev, primary = outs
+        t0 = time.time()
         ns = np.array([s.data.size for s in spans], np.int32)
         cmaps = np.stack([np.asarray(s.cmap, np.uint8) for s in spans])
         crcs = np.array(
             [(native.crc32_block(self.buf[s.start:s.end]) ^ 0xFFFFFFFF)
              & 0xFFFFFFFF for s in spans], np.uint32)
-        # pad rows (task batch longer than ids) replay row 0
+        # pad rows (batch longer than ids) replay row 0
         B = bwt_dev.shape[0]
         if B > len(spans):
             ns = np.concatenate([ns, np.repeat(ns[:1], B - len(spans))])
@@ -276,25 +379,40 @@ class _WorkPool:
         payloads = chain_payloads(bwt_dev, ns, cmaps,
                                   np.asarray(primary, np.int32), crcs,
                                   self.cf)
+        fresh = stale = 0
         for row, (i, span) in enumerate(zip(ids, spans)):
+            if self.is_stale(i):
+                stale += 1
+                continue
             if payloads[row] is None:  # pack overflow: host re-encode
+                self.unclaim(i)
                 self.entropy_q.put((i, span, None, -1))
             else:
                 self.put_result(i, (payloads[row], int(crcs[row])))
-        self.stats["device_blocks"] += len(ids)
+            fresh += 1
+        tele["ready_s"] = round(time.time() - t0, 3)
+        tele["done_t"] = round(time.time() - self.stats["t0"], 2)
+        self.last_batch_t = time.time()
+        self.stats["device_blocks"] += fresh
+        self.stats["stale_rows"] += stale
+        self.stats["device_batches"].append((fresh, tele["done_t"]))
+        self.stats["batch_trace"].append(tele)
 
-    def _make_task(self, ids, Bwt2Task):
-        """Lyndon-prep ids into one padded batch; periodic blocks are
-        encoded host-side immediately."""
+    def _build_batch(self, ids):
+        """Lyndon-prep ids into one padded (rows, bucket) batch;
+        periodic and mid-size blocks route to the host immediately."""
+        t0 = time.time()
         rows = []
         for i in ids:
             span = self.blocks[i]
             bucket_i = _bucket_for(span.data.size)
             if bucket_i is None:
+                self.unclaim(i)
                 self.entropy_q.put((i, span, None, -1))  # host BWT
                 continue
             r, m = native.lyndon_prep(span.data)
             if m < 0:
+                self.unclaim(i)
                 self.entropy_q.put((i, span, None, -1))  # host BWT
             else:
                 rows.append((i, span, r, m))
@@ -315,10 +433,11 @@ class _WorkPool:
             batch[row] = batch[0]
             ns[row] = ns[0]
             ms[row] = ms[0]
+        tele = {"rows": len(rows), "shape": [nrows, bucket],
+                "prep_s": round(time.time() - t0, 3),
+                "t": round(time.time() - self.stats["t0"], 2)}
         return ([i for i, _, _, _ in rows],
-                [span for _, span, _, _ in rows],
-                Bwt2Task(batch, ns, ms,
-                         emit="bytes" if _DEVICE_CHAIN else "tokens"))
+                [span for _, span, _, _ in rows], batch, ns, ms, tele)
 
     # --- host workers -----------------------------------------------------
     def host_loop(self):
@@ -338,6 +457,13 @@ class _WorkPool:
                     continue
                 # steal a whole block from the tail
                 i = None if not _HOST_STEAL else self.take_tail()
+                if i is None and _HOST_STEAL and _STEALBACK and \
+                        not self.device_done:
+                    # queue drained and nothing to do: steal back a
+                    # device-claimed block rather than idle (covers
+                    # cold compiles and tunnel outages; no-op while
+                    # device batches are streaming, see take_claimed)
+                    i = self.take_claimed()
                 if i is not None:
                     self.stats["host_blocks"] += 1
                     self.put_result(i, _host_block(
@@ -359,6 +485,8 @@ class _WorkPool:
 
     def _do_entropy(self, item):
         i, span, bwt_row, bidx = item
+        if self.is_stale(i):  # another engine already produced it
+            return
         if bwt_row is None:  # periodic block: full host encode
             self.put_result(i, _host_block(self.buf, span, self.cf))
         else:
@@ -418,11 +546,17 @@ class _WorkPool:
                 if self.error is not None:
                     raise self.error
             delivered += 1
-            yield self.results.pop(i)
+            with self.res_cv:
+                self.next_deliver = i + 1
+                payload = self.results.pop(i)
+            yield payload
+        self.complete = True
         for t in threads:
-            # a device thread stuck on a dead tunnel never joins; all
-            # threads are daemons, so leave it behind after abandonment
-            t.join(timeout=None if not self.abandoned else 1.0)
+            # a device thread still fetching (or stuck on a dead
+            # tunnel) must not hold up a stream that is already whole;
+            # every thread is a daemon and every late result is
+            # discarded as stale, so a short grace join suffices
+            t.join(timeout=None if not self.use_device else 2.0)
         if self.error is not None:
             raise self.error
 

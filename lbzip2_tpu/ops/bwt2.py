@@ -244,15 +244,11 @@ emit2 = jax.jit(_emit2)
 emit_bytes = jax.jit(_emit_bytes)
 
 
-@jax.jit
-def bwt2_full(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
-    """Whole BWT in one program: seed + while_loop of x8 passes + emit.
-
-    The one-dispatch variant used under shard_map for multi-chip block
-    parallelism (each shard loops independently until its ties
-    resolve); the host-stepped Bwt2Task below is preferred on a single
-    chip where adaptive capacity shrinking pays.
-    """
+def _resolve_loop(blocks, ns):
+    """seed16 + on-chip while_loop of x8 passes until every row's ties
+    resolve.  One dispatch: the per-pass unresolved-count download (and
+    the speculative identity passes that hid it) disappear entirely —
+    the loop condition is evaluated on chip."""
     ISA, cnt = _seed16(blocks, ns)
 
     def cond(c):
@@ -265,8 +261,44 @@ def bwt2_full(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
         return ISA, k * 8, cnt
 
     ISA, _, _ = jax.lax.while_loop(cond, body, (ISA, jnp.int32(16), cnt))
-    # multi-chip path: raw packed rows (tokens are a tunnel-download
-    # optimization; XLA dead-code-eliminates them here)
+    return ISA
+
+
+@jax.jit
+def bwt2_tokens(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
+    """Whole batched BWT in ONE device program, emitting run tokens.
+
+    The production compressor's device kernel (codec/encoder.py): the
+    host uploads a (B, N) batch of Lyndon conjugates, dispatches this
+    once, and downloads (tokens, run_counts, primary) — raw packed rows
+    are fetched per-row only on token overflow.  Replaces the
+    host-stepped Bwt2Task pipeline whose per-pass count round trips and
+    dispatch gaps dominated wall time (round-2 bench: ~10 s batch
+    cadence against ~1.3 s of kernel time)."""
+    ISA = _resolve_loop(blocks, ns)
+    return _emit2(blocks, ISA, ns, ms)
+
+
+@jax.jit
+def bwt2_bytes(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
+    """One-dispatch batched BWT leaving rows on device (chain mode).
+
+    Returns (bwt (B, N) uint8, primary (B,)) as device arrays for
+    ops/chain.py's MTF/EM/pack chain."""
+    ISA = _resolve_loop(blocks, ns)
+    return _emit_bytes(blocks, ISA, ns, ms)
+
+
+@jax.jit
+def bwt2_full(blocks: jnp.ndarray, ns: jnp.ndarray, ms: jnp.ndarray):
+    """Whole BWT in one program: seed + while_loop of x8 passes + emit.
+
+    The variant used under shard_map for multi-chip block parallelism
+    (each shard loops independently until its ties resolve); raw packed
+    rows are returned (tokens are a tunnel-download optimization; XLA
+    dead-code-eliminates them here).
+    """
+    ISA = _resolve_loop(blocks, ns)
     _, raw, _, primary = _emit2(blocks, ISA, ns, ms)
     return raw, primary
 
