@@ -25,19 +25,61 @@ import numpy as np
 PER_CHIP_TARGET_MBPS = 62.5
 
 
-def build_corpus(size: int) -> bytes:
-    srcs = []
-    for pat in ("/root/reference/src/*", "/root/reference/tests/*.c",
-                "/root/reference/*"):
+def _read_all(patterns, limit=None):
+    out = []
+    total = 0
+    for pat in patterns:
         for f in sorted(glob.glob(pat)):
             if os.path.isfile(f):
                 try:
-                    srcs.append(open(f, "rb").read())
+                    b = open(f, "rb").read()
                 except OSError:
-                    pass
-    blob = b"".join(srcs)
+                    continue
+                out.append(b)
+                total += len(b)
+                if limit and total >= limit:
+                    return b"".join(out)[:limit]
+    return b"".join(out)
+
+
+def build_corpus(size: int) -> bytes:
+    """Silesia-like deterministic mix: source text, ELF binaries,
+    XML-ish markup, and high-entropy bytes, page-shuffled so blocks are
+    realistic rather than degenerate repeats of one file."""
     rng = np.random.default_rng(0)
-    # Shuffle 4 KiB pages so long-range repeats don't dominate every block.
+    text = _read_all(("/root/reference/src/*", "/root/reference/tests/*.c",
+                      "/root/reference/*"))
+    elf = _read_all(("/usr/lib/x86_64-linux-gnu/libc.so*",
+                     "/usr/lib/x86_64-linux-gnu/libstdc++*",
+                     "/usr/lib/x86_64-linux-gnu/libm.so*",
+                     "/usr/bin/python3*"), limit=24 << 20)
+    words = [w for w in text.split(b" ") if 2 < len(w) < 16][:4096] or \
+        [b"node", b"item", b"attr"]
+    xs = []
+    xtot = 0
+    i = 0
+    while xtot < (8 << 20):
+        w = words[int(rng.integers(len(words)))]
+        rec = b"<rec id=\"%d\"><k>%s</k><v>%d</v></rec>\n" % (
+            i, w, int(rng.integers(1 << 30)))
+        xs.append(rec)
+        xtot += len(rec)
+        i += 1
+    xml = b"".join(xs)
+    rand = rng.integers(0, 256, size=4 << 20, dtype=np.uint8).tobytes()
+
+    # class shares: text 50%, elf 25%, xml 15%, high-entropy 10%
+    parts = []
+    for blob, share in ((text, 0.50), (elf, 0.25), (xml, 0.15),
+                        (rand, 0.10)):
+        want = int(size * share) + (4 << 20)
+        rep = []
+        while sum(map(len, rep)) < want:
+            rep.append(blob)
+        parts.append(b"".join(rep)[:want])
+    blob = b"".join(parts)
+    # Shuffle 4 KiB pages so long-range repeats don't dominate and
+    # every 900k block sees a mix of classes.
     pages = [blob[i:i + 4096] for i in range(0, len(blob), 4096)]
     out = []
     total = 0
@@ -47,6 +89,26 @@ def build_corpus(size: int) -> bytes:
         out.append(chunk)
         total += len(chunk)
     return b"".join(out)[:size]
+
+
+def level_parity(data: bytes, levels=(1, 5, 9)):
+    """Byte-compare our compressed output against the reference binary
+    across block-size levels (BASELINE 'size parity across -1..-9').
+    Returns {level: {ours, ref, identical}} or None if no reference
+    binary is available."""
+    import subprocess
+    ref_bin = "/tmp/refbuild/lbzip2"
+    if not os.path.exists(ref_bin):
+        return None
+    from lbzip2_tpu.parallel.encode import compress_parallel
+    out = {}
+    for lvl in levels:
+        ours = compress_parallel(data, lvl)
+        ref = subprocess.run([ref_bin, f"-{lvl}", "-c"], input=data,
+                             capture_output=True).stdout
+        out[str(lvl)] = {"ours": len(ours), "ref": len(ref),
+                         "identical": ours == ref}
+    return out
 
 
 def _device_alive(timeout_s: int = 240, attempts: int = 4,
@@ -126,6 +188,9 @@ def main():
     assert rt == data, "decompress round-trip failed"
     dec_mbps = len(data) / dec_dt / 1e6
 
+    # size/bit parity vs the reference binary across levels (-1/-5/-9)
+    parity = level_parity(data[:24_000_000])
+
     if dev_mbps is not None and dev_mbps >= host_mbps:
         metric, mbps = "compress_MBps_per_chip_end_to_end_level9", dev_mbps
     elif dev_mbps is not None:
@@ -143,6 +208,7 @@ def main():
         "device_MBps": round(dev_mbps, 2) if dev_mbps else None,
         "device_stats": dev_stats,
         "decompress_MBps": round(dec_mbps, 2),
+        "level_parity": parity,
     }))
 
 
