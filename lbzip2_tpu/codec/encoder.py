@@ -30,6 +30,7 @@ host-side convention.
 
 from __future__ import annotations
 
+import heapq
 import os
 import queue
 import threading
@@ -127,6 +128,48 @@ def _host_block(buf, span, cluster_factor):
     return _entropy_payload(buf, span, brow, bidx, cluster_factor)
 
 
+class _EdfQueue:
+    """EDF priority queue for entropy work: items pop smallest block id
+    first (the reference's earliest-deadline-first pqueues keyed on
+    struct position, src/process.c:36-63), so the block the in-order
+    consumer needs next is always finished first.  close() replaces a
+    sticky sentinel: after close, get() returns None once drained."""
+
+    def __init__(self):
+        self._h: list = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._seq = 0  # tie-break: duplicate ids pop in arrival order
+
+    def put(self, item):
+        with self._cv:
+            self._seq += 1
+            heapq.heappush(self._h, (item[0], self._seq, item))
+            self._cv.notify()
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def get(self, block=True, timeout=None):
+        """Smallest-id item, else None (empty+non-blocking, closed, or
+        timed out — callers re-poll their higher-priority sources)."""
+        with self._cv:
+            if self._h:
+                return heapq.heappop(self._h)[2]
+            if not block or self._closed:
+                return None
+            self._cv.wait(timeout)
+            if self._h:
+                return heapq.heappop(self._h)[2]
+            return None
+
+    def empty(self):
+        with self._cv:
+            return not self._h
+
+
 class _WorkPool:
     """Hybrid scheduler: device head-consumer + host tail-stealers."""
 
@@ -144,7 +187,7 @@ class _WorkPool:
         self.head = 0
         self.tail = len(blocks)
         self.q_lock = threading.Lock()
-        self.entropy_q: queue.Queue = queue.Queue()
+        self.entropy_q = _EdfQueue()
         self.device_done = not use_device
         self.host_workers = host_workers
         self.use_device = use_device
@@ -235,7 +278,7 @@ class _WorkPool:
                 self.fail(e)
         finally:
             self.device_done = True
-            self.entropy_q.put(None)  # sticky wake-up sentinel
+            self.entropy_q.close()  # wake idle workers for shutdown
 
     def _device_pipeline(self):
         """One bwt2_tokens/bwt2_bytes dispatch per batch.
@@ -440,46 +483,54 @@ class _WorkPool:
                 [span for _, span, _, _ in rows], batch, ns, ms, tele)
 
     # --- host workers -----------------------------------------------------
+    def _next_task(self):
+        """Ordered scheduling policy: highest-priority available task,
+        or None when the pool is finished.
+
+        Static priority between task types (the reference's ordered
+        task table, src/process.c:422-435 over compress.c:353-359),
+        EDF within a type:
+          1. entropy    — finish a device-BWT'd block (smallest id
+                          first: feeds the in-order consumer and drains
+                          device inventory)
+          2. steal      — whole block from the tail of the shared queue
+          3. steal_back — device-claimed block, gated by take_claimed's
+                          streaming-grace (cold compile / outage only)
+        Blocks (with a 1 s re-poll so the gates above are re-evaluated)
+        when nothing is ready but work may still appear."""
+        while True:
+            item = self.entropy_q.get(block=False)
+            if item is not None:
+                return ("entropy", item)
+            if _HOST_STEAL:
+                i = self.take_tail()
+                if i is not None:
+                    return ("steal", i)
+                if _STEALBACK and not self.device_done:
+                    i = self.take_claimed()
+                    if i is not None:
+                        return ("steal_back", i)
+            if self.device_done and self.entropy_q.empty():
+                return None
+            t = time.time()
+            item = self.entropy_q.get(block=True, timeout=1.0)
+            self.stats["host_idle_s"] += time.time() - t
+            if item is not None:
+                return ("entropy", item)
+
     def host_loop(self):
         try:
             while True:
-                # entropy work (keeps the device pipeline draining) first
-                try:
-                    item = self.entropy_q.get(block=False)
-                except queue.Empty:
-                    item = None
-                else:
-                    if item is None:  # sticky sentinel: leave for others
-                        self.entropy_q.put(None)
-                        return
-                if item is not None:
+                task = self._next_task()
+                if task is None:
+                    return
+                kind, item = task
+                if kind == "entropy":
                     self._do_entropy(item)
-                    continue
-                # steal a whole block from the tail
-                i = None if not _HOST_STEAL else self.take_tail()
-                if i is None and _HOST_STEAL and _STEALBACK and \
-                        not self.device_done:
-                    # queue drained and nothing to do: steal back a
-                    # device-claimed block rather than idle (covers
-                    # cold compiles and tunnel outages; no-op while
-                    # device batches are streaming, see take_claimed)
-                    i = self.take_claimed()
-                if i is not None:
+                else:  # steal / steal_back: whole-block host encode
                     self.stats["host_blocks"] += 1
-                    self.put_result(i, _host_block(
-                        self.buf, self.blocks[i], self.cf))
-                    continue
-                if self.device_done and self.entropy_q.empty():
-                    return
-                # queue drained but device still running: wait for work
-                _t = time.time()
-                item = self.entropy_q.get()
-                self.stats["host_idle_s"] += time.time() - _t
-                if item is not None:
-                    self._do_entropy(item)
-                else:  # sticky sentinel: leave for others
-                    self.entropy_q.put(None)
-                    return
+                    self.put_result(item, _host_block(
+                        self.buf, self.blocks[item], self.cf))
         except BaseException as e:  # noqa: BLE001
             self.fail(e)
 

@@ -94,6 +94,31 @@ def test_contended_first_result_wins(enc):
     assert n_blocks >= s["device_blocks"]  # accounting sane
 
 
+def test_task_priority_order(enc):
+    """Explicit scheduling policy under contention (reference spec:
+    ordered task table src/process.c:422-435): entropy work beats tail
+    stealing, and within entropy the smallest block id (EDF) pops
+    first — even when queued out of order."""
+    pool = enc._WorkPool(np.zeros(1, np.uint8), list(range(8)), 8, 0,
+                         True)
+    # tail blocks available AND entropy queued out of order
+    pool.entropy_q.put((5, None, None, -1))
+    pool.entropy_q.put((2, None, None, -1))
+    pool.entropy_q.put((7, None, None, -1))
+    kinds = [pool._next_task() for _ in range(5)]
+    assert [k for k, _ in kinds[:3]] == ["entropy"] * 3
+    assert [item[0] for _, item in kinds[:3]] == [2, 5, 7]  # EDF
+    assert kinds[3][0] == "steal"  # only then the tail
+    assert kinds[3][1] == 7  # tail steals youngest block first
+    # duplicate ids must not break the heap (span objects are not
+    # comparable; arrival order breaks the tie)
+    pool.entropy_q.put((3, object(), None, -1))
+    pool.entropy_q.put((3, object(), None, -1))
+    a = pool.entropy_q.get(block=False)
+    b = pool.entropy_q.get(block=False)
+    assert a[0] == b[0] == 3
+
+
 def test_late_duplicate_dropped(enc):
     """put_result drops results for blocks already delivered."""
     pool = enc._WorkPool(np.zeros(1, np.uint8), [], 8, 0, False)
