@@ -503,6 +503,45 @@ def _process_operand(ctx: _Ctx, opts: Options, operand: str | None) -> None:
         infd.close()
 
 
+# Blocked process-wide for the life of the CLI (reference
+# signals.c:89-104): an EPIPE/EFBIG write() fails with errno instead of
+# killing a thread mid-pipeline, while the signal stays *pending* on
+# the process; the failure path then "promotes" it — cleanup first,
+# then die BY the signal (so callers observe death-by-SIGPIPE/XFSZ
+# exactly as with the reference binary).
+_PROMOTABLE = tuple(getattr(signal, n) for n in ("SIGPIPE", "SIGXFSZ")
+                    if hasattr(signal, n))
+
+
+def _cleanup_output(ctx: _Ctx):
+    if ctx.opathn:
+        try:
+            os.unlink(ctx.opathn)
+        except OSError:
+            pass
+        ctx.opathn = None
+
+
+def _promote_pending():
+    """Die by any pending SIGPIPE/SIGXFSZ (reference bailout(),
+    signals.c:262-315).  No-op when none is pending — in-process
+    callers (tests, library use) just see the EX_FAIL return."""
+    try:
+        pending = signal.sigpending()
+    except (AttributeError, OSError):
+        return
+    for s in _PROMOTABLE:
+        if s in pending:
+            try:
+                sys.stderr.flush()
+                signal.signal(s, signal.SIG_DFL)
+                signal.pthread_sigmask(signal.SIG_UNBLOCK, {s})
+                # pending signal delivers here; belt-and-braces:
+                os.kill(os.getpid(), s)
+            except (ValueError, OSError):
+                return
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv
@@ -510,11 +549,7 @@ def main(argv: list[str] | None = None) -> int:
     ctx = _Ctx(pname)
 
     def _sig_cleanup(signum, frame):
-        if ctx.opathn:
-            try:
-                os.unlink(ctx.opathn)
-            except OSError:
-                pass
+        _cleanup_output(ctx)
         signal.signal(signum, signal.SIG_DFL)
         os.kill(os.getpid(), signum)
 
@@ -523,6 +558,10 @@ def main(argv: list[str] | None = None) -> int:
             signal.signal(s, _sig_cleanup)
         except ValueError:
             pass  # non-main thread (tests)
+    try:
+        signal.pthread_sigmask(signal.SIG_BLOCK, set(_PROMOTABLE))
+    except (AttributeError, OSError, ValueError):
+        pass
 
     try:
         opts = parse_args(ctx, argv[1:])
@@ -533,13 +572,19 @@ def main(argv: list[str] | None = None) -> int:
             _process_operand(ctx, opts, None)
     except Fail as e:
         sys.stderr.write(str(e) + "\n")
-        if ctx.opathn:
-            try:
-                os.unlink(ctx.opathn)
-            except OSError:
-                pass
+        _cleanup_output(ctx)
         return EX_FAIL
-    except BrokenPipeError:
+    except OSError as e:
+        import errno as _errno
+        if isinstance(e, BrokenPipeError) or \
+                e.errno in (_errno.EPIPE, _errno.EFBIG):
+            # reference suppresses the EPIPE/EFBIG message
+            # (main.c:111-112) and dies by the promoted signal
+            _cleanup_output(ctx)
+            _promote_pending()
+            return EX_FAIL
+        sys.stderr.write(f"{pname}: {e.strerror}\n")
+        _cleanup_output(ctx)
         return EX_FAIL
     return EX_WARN if ctx.warned else EX_OK
 
