@@ -109,6 +109,10 @@ def get_lib():
         lib.lbz2_imtf_rle2.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.lbz2_scan_magic.restype = ctypes.c_long
+        lib.lbz2_scan_magic.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_uint64,
+            ctypes.c_void_p]
         lib.lbz2_em_mstep.restype = None
         lib.lbz2_em_mstep.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -364,6 +368,17 @@ def retrieve_boundaries(data: np.ndarray, nbits: int, bitpos: int):
         "group_start": gstart[:ng], "group_tree": gtree[:ng],
         "ngroups": ng, "nsyms": int(nsyms[0]),
         "base": base, "count": count, "perm": perm}
+
+
+def scan_magic(data: np.ndarray, magic: int) -> np.ndarray:
+    """All bit offsets of the 48-bit magic in data (int64 array)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(data.size // 6 + 2, np.int64)
+    cnt = lib.lbz2_scan_magic(
+        data.ctypes.data_as(ctypes.c_void_p), data.size,
+        ctypes.c_uint64(magic), out.ctypes.data_as(ctypes.c_void_p))
+    return out[:cnt]
 
 
 def imtf_rle2(syms: np.ndarray, used_flags: np.ndarray) -> np.ndarray:

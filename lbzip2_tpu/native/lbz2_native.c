@@ -813,6 +813,36 @@ long lbz2_ibwt_emit(const uint8_t *bwt, long n, long idx, int rand_flag,
   return op;
 }
 
+/* Speculative magic scan (role of the reference's scan-DFA,
+ * src/parse.c:282-342 over scantab.h, re-expressed as an 8-phase
+ * shift-register scan): all bit offsets where the 48-bit big-endian
+ * magic occurs.  Matches are >= 48 bits apart (the magics have no
+ * period < 48), so out needs at most nbytes/6 + 2 entries. */
+long lbz2_scan_magic(const uint8_t *data, long nbytes, uint64_t magic,
+                     int64_t *out) {
+  if (nbytes < 6) return 0;
+  const uint64_t M = (1ULL << 48) - 1;
+  magic &= M;
+  long cnt = 0;
+  /* reg: bytes [i, i+7) MSB-first; window at bit 8i+s (s=0..7) is
+   * (reg >> (8 - s)) & M */
+  uint64_t reg = 0;
+  for (long k = 0; k < 6; k++) reg = (reg << 8) | data[k];
+  for (long i = 0; i + 7 <= nbytes; i++) {
+    reg = ((reg << 8) | data[i + 6]) & ((1ULL << 56) - 1);
+    for (int s = 0; s < 8; s++)
+      if (((reg >> (8 - s)) & M) == magic)
+        out[cnt++] = 8 * i + s;
+  }
+  /* tail: the s=0 window of the final 6 bytes has no 7th byte */
+  if (nbytes >= 6) {
+    uint64_t v = 0;
+    for (long k = nbytes - 6; k < nbytes; k++) v = (v << 8) | data[k];
+    if (v == magic) out[cnt++] = 8 * (nbytes - 6);
+  }
+  return cnt;
+}
+
 #include "entropy.c"
 #include "sais.c"
 

@@ -29,14 +29,18 @@ EOS_MAGIC = 0x177245385090
 
 def scan_magic_bits(data: np.ndarray, magic: int = BLOCK_MAGIC
                     ) -> np.ndarray:
-    """All bit offsets where the 48-bit magic occurs (vectorized scan).
+    """All bit offsets where the 48-bit magic occurs.
 
-    Works on 8 shifted views: for each bit phase s, compare the 6-byte
+    Production path: the C shift-register scan (native lbz2_scan_magic,
+    ~220 MB/s, O(1) extra memory).  Fallback: a vectorized numpy scan
+    over 8 shifted views — for each bit phase s, compare the 6-byte
     windows of (data << s) against the magic bytes.
     """
     n = data.size
     if n < 6:
         return np.zeros(0, np.int64)
+    if native.native_available():
+        return native.scan_magic(data, magic)
     hits = []
     d = data.astype(np.uint16)
     for s in range(8):
