@@ -91,12 +91,21 @@ def decode_block_device(arr, nbits: int, payload_pos: int):
     if err != 0:
         return err, payload_pos, None, 0, 0
     ng = meta["ngroups"]
-    pad = arr.size % 4
-    buf = arr if pad == 0 else np.concatenate(
-        [arr, np.zeros(4 - pad, np.uint8)])
-    words = jnp.asarray(buf.view(">u4").astype(np.uint32))
+    # Rebase bit offsets onto the block's own word window: cursors
+    # stay in int32 for streams of any size (group offsets within one
+    # block are < 2^24 bits), and the upload is bounded by the block's
+    # payload instead of re-shipping the whole stream per block.
+    starts_abs = meta["group_start"].astype(np.int64)
+    base_word = int(starts_abs[0] // 32)
+    end_word = (max(int(end_pos), int(starts_abs[ng - 1])) + 31) // 32
+    lo, hi = 4 * base_word, min(4 * (end_word + 1), arr.size)
+    win = arr[lo:hi]
+    if win.size % 4:
+        win = np.concatenate([win, np.zeros(4 - win.size % 4, np.uint8)])
+    words = jnp.asarray(win.view(">u4").astype(np.uint32))
+    starts_rel = (starts_abs - 32 * base_word).astype(np.int32)
     syms, end = decode_groups(
-        words, jnp.asarray(meta["group_start"].astype(np.int32)),
+        words, jnp.asarray(starts_rel),
         jnp.asarray(meta["group_tree"].astype(np.int32)),
         jnp.asarray(meta["base"]), jnp.asarray(meta["count"]),
         jnp.asarray(np.asarray(meta["perm"], np.int32)))
@@ -105,9 +114,8 @@ def decode_block_device(arr, nbits: int, payload_pos: int):
     # reconcile: cursor after group g must hit group g+1's start
     # (the final group ends at EOB mid-group; the host walk's end
     # position bounds it instead)
-    starts = meta["group_start"]
     if ng > 1 and not np.array_equal(end[:ng - 1],
-                                     starts[1:ng].astype(np.int32)):
+                                     starts_rel[1:ng]):
         from lbzip2_tpu.core.constants import Error
         return Error.ERR_PREFIX.value, payload_pos, None, 0, 0
     flat = syms[:ng].reshape(-1)[:meta["nsyms"]].astype(np.uint16)
