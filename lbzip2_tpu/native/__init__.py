@@ -113,6 +113,16 @@ def get_lib():
         lib.lbz2_scan_magic.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_uint64,
             ctypes.c_void_p]
+        lib.lbz2_retr_new.restype = ctypes.c_void_p
+        lib.lbz2_retr_new.argtypes = []
+        lib.lbz2_retr_free.restype = None
+        lib.lbz2_retr_free.argtypes = [ctypes.c_void_p]
+        lib.lbz2_retr_step.restype = ctypes.c_long
+        lib.lbz2_retr_step.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.lbz2_em_mstep.restype = None
         lib.lbz2_em_mstep.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -368,6 +378,49 @@ def retrieve_boundaries(data: np.ndarray, nbits: int, bitpos: int):
         "group_start": gstart[:ng], "group_tree": gtree[:ng],
         "ngroups": ng, "nsyms": int(nsyms[0]),
         "base": base, "count": count, "perm": perm}
+
+
+class ResumableRetriever:
+    """Suspend-anywhere block retrieve over a sliding input window
+    (the reference retrieve()'s MORE continuation, src/decode.c:387).
+
+    step(window, base_bit, start_bit) -> (err, end_pos, size, idx,
+    rand): err == Error.MORE (1) means feed more input and call step
+    again; window holds absolute bits [base_bit, base_bit+8*len);
+    base_bit must be byte-aligned.  The 900k bwt output accumulates in
+    self.bwt across steps."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._st = self._lib.lbz2_retr_new()
+        self.bwt = np.empty(900000, np.uint8)
+
+    def step(self, window: np.ndarray, base_bit: int, start_bit: int):
+        assert base_bit % 8 == 0
+        window = np.ascontiguousarray(window, np.uint8)
+        end = ctypes.c_long(0)
+        size = ctypes.c_long(0)
+        idx = ctypes.c_long(0)
+        rnd = ctypes.c_int(0)
+        err = self._lib.lbz2_retr_step(
+            self._st, window.ctypes.data_as(ctypes.c_void_p),
+            base_bit, base_bit + window.size * 8, start_bit,
+            self.bwt.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(end), ctypes.byref(size), ctypes.byref(idx),
+            ctypes.byref(rnd))
+        return (int(err), int(end.value), int(size.value),
+                int(idx.value), int(rnd.value))
+
+    def close(self):
+        if self._st:
+            self._lib.lbz2_retr_free(self._st)
+            self._st = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 def scan_magic(data: np.ndarray, magic: int) -> np.ndarray:

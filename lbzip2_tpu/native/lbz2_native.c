@@ -416,6 +416,250 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
 }
 
 /* ------------------------------------------------------------------ */
+/* Resumable retrieve (streaming decode)                               */
+/*                                                                     */
+/* The reference's retrieve() is a coroutine that suspends on input    */
+/* exhaustion at any bit (src/decode.c:387-407 NEED(), state enum      */
+/* :140-149).  This streaming decoder reaches the same suspend-       */
+/* anywhere contract with phase + group granularity, exploiting two    */
+/* format bounds:                                                      */
+/*   - a block header is <= ~33 KB (32767 unary selectors + 6 delta    */
+/*     trees), so the header phase simply re-parses when more input    */
+/*     arrives (bounded rework, no saved mid-header state);            */
+/*   - a group is <= 50 codes x 20 bits, so the group phase snapshots  */
+/*     its small live state only when the window end is near and       */
+/*     rolls back to the group boundary on exhaustion.                 */
+/* Positions are absolute, so the caller may extend (or slide, byte-   */
+/* aligned) its window between steps.  E_MORE = feed more input.       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+  int phase;     /* 0 = header pending, 1 = decoding groups */
+  long pos;      /* absolute bit position of next unread bit */
+  int rand_bit;
+  long idx;
+  int num_trees;
+  long num_sel, ns;
+  long g;        /* next group to decode */
+  int eob;
+  uint32_t run_char;
+  uint64_t run;
+  int shift;
+  long size;
+  int n_used;
+  int tree_mtf[MAX_TREES];
+  uint8_t imtf[256];
+  tree_t trees[MAX_TREES];
+  uint8_t selectors[MAX_SELECTORS_HARD + 1];
+} retr_state_t;
+
+void *lbz2_retr_new(void) { return calloc(1, sizeof(retr_state_t)); }
+void lbz2_retr_free(void *p) { free(p); }
+
+/* Decode one 50-symbol group; bs positions are window-relative.
+ * Returns E_OK (st->eob may be set) or an error (E_EOF = exhausted
+ * mid-group; caller rolls back). */
+static long retr_group(retr_state_t *st, bits_t *bs, uint8_t *out_bwt) {
+  int si = st->selectors[st->g];
+  int tsel = st->tree_mtf[si];
+  for (int q = si; q > 0; q--) st->tree_mtf[q] = st->tree_mtf[q - 1];
+  st->tree_mtf[0] = tsel;
+  tree_t *T = &st->trees[tsel];
+  if (T->status != E_OK) return T->status;
+
+  for (int m = 0; m < GROUP_SIZE; m++) {
+    uint32_t v = bits_peek20(bs);
+    uint16_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
+    int k, sym;
+    if (x != 0xFFFF) {
+      k = x & 0x1F;
+      sym = x >> 5;
+    } else {
+      k = LUT_WIDTH + 1;
+      while ((uint64_t)v >= T->base[k + 1]) k++;
+      sym = T->perm[T->count[k] +
+                    (long)((v - T->base[k]) >> (MAX_CODE_LENGTH - k))];
+    }
+    if (bs->pos + k > bs->nbits) return E_EOF;
+    bs->pos += k;
+
+    if (sym == 0) { /* EOB */
+      if (st->run > (uint64_t)(MAX_BLOCK_SIZE - st->size))
+        return E_OVERFLOW;
+      memset(out_bwt + st->size, st->run_char, st->run);
+      st->size += st->run;
+      st->eob = 1;
+      return E_OK;
+    }
+    if (sym >= 256 && st->run <= MAX_BLOCK_SIZE) {
+      st->run += (uint64_t)(sym - 256) << st->shift;
+      st->shift++;
+      continue;
+    }
+    if (st->run > (uint64_t)(MAX_BLOCK_SIZE - st->size))
+      return E_OVERFLOW;
+    memset(out_bwt + st->size, st->run_char, st->run);
+    st->size += st->run;
+    {
+      int r = sym;
+      uint8_t c = st->imtf[r];
+      memmove(st->imtf + 1, st->imtf, r);
+      st->imtf[0] = c;
+      st->run_char = c;
+    }
+    st->run = 1;
+    st->shift = 0;
+  }
+  return E_OK;
+}
+
+/* One resume step.  data holds absolute bits [base_bit, nbits_abs)
+ * with base_bit % 8 == 0; start_bit = absolute payload start (just
+ * past magic+CRC), used on the first step only.  Returns E_MORE when
+ * the window is exhausted mid-block (state saved; call again with
+ * more input), E_OK when the block is complete, or an error. */
+long lbz2_retr_step(void *handle, const uint8_t *data, long base_bit,
+                    long nbits_abs, long start_bit, uint8_t *out_bwt,
+                    long *end_pos, long *block_size, long *bwt_idx,
+                    int *randomized) {
+  retr_state_t *st = (retr_state_t *)handle;
+  bits_t bs = { data, nbits_abs - base_bit, 0 };
+
+  if (st->phase == 0) {
+    /* header: parse from scratch; on exhaustion nothing is kept */
+    bs.pos = start_bit - base_bit;
+    int err = 0;
+    uint8_t used_bytes[256];
+    int n_used = 0;
+    int rand_bit = (int)bits_read(&bs, 1, &err);
+    long idx = bits_read(&bs, 24, &err);
+    long big = bits_read(&bs, 16, &err);
+    if (err) return E_MORE;
+    for (int i = 0; i < 16; i++) {
+      if ((big >> (15 - i)) & 1) {
+        long small = bits_read(&bs, 16, &err);
+        if (err) return E_MORE;
+        for (int j = 0; j < 16; j++)
+          if ((small >> (15 - j)) & 1)
+            used_bytes[n_used++] = (uint8_t)(16 * i + j);
+      }
+    }
+    if (n_used == 0) return E_BITMAP;
+    int alpha = n_used + 2;
+
+    long num_trees = bits_read(&bs, 3, &err);
+    if (err) return E_MORE;
+    if (num_trees < 2 || num_trees > MAX_TREES) return E_TREES;
+    long num_sel = bits_read(&bs, 15, &err);
+    if (err) return E_MORE;
+    if (num_sel == 0) return E_GROUPS;
+
+    for (long g = 0; g < num_sel; g++) {
+      int k = 0;
+      for (;;) {
+        long b = bits_read(&bs, 1, &err);
+        if (err) return E_MORE;
+        if (b == 0) break;
+        k++;
+        if (k > 6) return E_SELECTOR;
+      }
+      if (k + 1 > num_trees) return E_SELECTOR;
+      st->selectors[g] = (uint8_t)k;
+    }
+
+    for (int tr = 0; tr < num_trees; tr++) {
+      uint8_t len_arr[258];
+      long cur = bits_read(&bs, 5, &err);
+      if (err) return E_MORE;
+      int j = 0;
+      while (j < alpha) {
+        int ops = 0, terminated = 0;
+        while (ops < 3) {
+          long b = bits_read(&bs, 1, &err);
+          if (err) return E_MORE;
+          if (b == 0) { terminated = 1; break; }
+          long b2 = bits_read(&bs, 1, &err);
+          if (err) return E_MORE;
+          cur += b2 == 0 ? 1 : -1;
+          ops++;
+        }
+        if (cur < 1 || cur > MAX_CODE_LENGTH) return E_DELTA;
+        if (terminated) len_arr[j++] = (uint8_t)cur;
+      }
+      make_tree(&st->trees[tr], len_arr, alpha);
+    }
+
+    st->rand_bit = rand_bit;
+    st->idx = idx;
+    st->num_trees = (int)num_trees;
+    st->num_sel = num_sel;
+    st->ns = num_sel < SELECTOR_CLAMP ? num_sel : SELECTOR_CLAMP;
+    st->n_used = n_used;
+    memcpy(st->imtf, used_bytes, (size_t)n_used);
+    for (int i = 0; i < MAX_TREES; i++) st->tree_mtf[i] = i;
+    st->run_char = st->imtf[0];
+    st->run = 0;
+    st->shift = 0;
+    st->size = 0;
+    st->g = 0;
+    st->eob = 0;
+    st->pos = base_bit + bs.pos;
+    st->phase = 1;
+  }
+
+  /* group phase */
+  bs.pos = st->pos - base_bit;
+  while (st->g < st->ns && !st->eob) {
+    if (bs.nbits - bs.pos >= GROUP_SIZE * MAX_CODE_LENGTH) {
+      /* a whole worst-case group fits: no rollback needed */
+      long r = retr_group(st, &bs, out_bwt);
+      if (r != E_OK) return r;  /* E_EOF impossible here */
+    } else {
+      /* near the window end: snapshot the group-boundary state and
+       * roll back on exhaustion */
+      struct {
+        int tree_mtf[MAX_TREES];
+        uint8_t imtf[256];
+        uint32_t run_char;
+        uint64_t run;
+        int shift;
+        long size;
+      } snap;
+      memcpy(snap.tree_mtf, st->tree_mtf, sizeof(st->tree_mtf));
+      memcpy(snap.imtf, st->imtf, sizeof(st->imtf));
+      snap.run_char = st->run_char;
+      snap.run = st->run;
+      snap.shift = st->shift;
+      snap.size = st->size;
+      long gpos = bs.pos;
+      long r = retr_group(st, &bs, out_bwt);
+      if (r == E_EOF) {
+        memcpy(st->tree_mtf, snap.tree_mtf, sizeof(st->tree_mtf));
+        memcpy(st->imtf, snap.imtf, sizeof(st->imtf));
+        st->run_char = snap.run_char;
+        st->run = snap.run;
+        st->shift = snap.shift;
+        st->size = snap.size;
+        st->pos = base_bit + gpos;
+        return E_MORE;
+      }
+      if (r != E_OK) return r;
+    }
+    st->g++;
+    st->pos = base_bit + bs.pos;
+  }
+  if (!st->eob) return E_UNTERM;
+  if (st->size == 0) return E_EMPTY;
+  if (st->idx >= st->size) return E_BWTIDX;
+
+  *end_pos = base_bit + bs.pos;
+  *block_size = st->size;
+  *bwt_idx = st->idx;
+  *randomized = st->rand_bit;
+  return E_OK;
+}
+
+/* ------------------------------------------------------------------ */
 /* Device-Huffman decode halves (ops/huffdec.py)                       */
 /*                                                                     */
 /* Group boundaries are inherently sequential (bzip2's selector-       */

@@ -126,6 +126,14 @@ def _decode_candidate(arr: np.ndarray, nbits: int, payload_pos: int,
             arr, nbits, payload_pos)
     if err != 0:
         return {"err": err}
+    return _emit_result(bwt, idx, rnd, newpos, pool, batcher)
+
+
+def _emit_result(bwt, idx, rnd, newpos,
+                 pool: SlotPool | None = None,
+                 batcher: "_DeviceIbwtBatcher | None" = None):
+    """IBWT + RLE1-expand a retrieved block into result chunks
+    (slot-pooled when a SlotPool bounds memory)."""
     if batcher is not None and not rnd:
         # device IBWT (batched Wyllie list ranking), host RLE1+CRC
         if not (0 <= idx < bwt.size):
@@ -457,14 +465,34 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
     def decode_at(p: int, speculative: bool = False):
         """Decode the block whose magic is at absolute bit p.
 
-        The parser-confirmed call first extends the window to the
-        worst-case payload bound (<= 20 bits/symbol + metadata) so the
-        block decodes in a single pass no matter how small the input
-        chunks arrive — the window-level analogue of the reference's
-        resumable retrieve (src/decode.c:387-407).  Speculative
-        candidates decode only within the current snapshot (a false
-        positive must not drag the file in) and report ERR_EOF, which
-        the parser retries non-speculatively."""
+        The parser-confirmed call drives the C resumable retriever
+        (native lbz2_retr_step, the reference's suspend-anywhere
+        retrieve contract, src/decode.c:387-407): it consumes exactly
+        the bits available and returns MORE when the window runs dry,
+        so arbitrarily small input chunks stream through with no
+        worst-case pre-buffering.  Speculative candidates decode only
+        within the current snapshot (a false positive must not drag
+        the file in) and report ERR_EOF, which the parser retries
+        non-speculatively."""
+        if not speculative and native.native_available() and \
+                not DEVICE_HUFF:
+            r = native.ResumableRetriever()
+            try:
+                while True:
+                    arr, base = sb.snapshot()
+                    err, end, size, idx, rnd = r.step(arr, base * 8,
+                                                      p + 80)
+                    if err == Error.MORE.value and sb.extend():
+                        continue
+                    break
+                if err == Error.MORE.value:  # exhausted at true EOF
+                    return {"err": Error.ERR_EOF.value}
+                if err != 0:
+                    return {"err": err}
+                return {**_emit_result(r.bwt[:size], idx, rnd, 0,
+                                       spool), "end": end}
+            finally:
+                r.close()
         if not speculative:
             payload_bound = (level * 100000 * 20) // 8 + 65536
             sb.ensure_bits(p + 80, payload_bound * 8)  # stops at EOF

@@ -93,3 +93,42 @@ def test_stream_single_pass_decode_work(monkeypatch):
     # authoritative single-pass decode; the old re-decode-on-growth
     # behavior took ~12 calls here
     assert calls["n"] <= 4, calls["n"]
+
+
+def test_stream_resumable_no_prebuffer():
+    """The resumable retriever must consume input incrementally: the
+    number of chunks read before the first output is bounded by the
+    first block's compressed size, not the worst-case payload bound
+    (~2.3 MB at level 9) the pre-buffering fallback would pull in."""
+    rng = np.random.default_rng(3)
+    data = rng.integers(97, 105, 2_500_000, dtype=np.uint8).tobytes()
+    stream = bz2.compress(data, 9)  # 3 blocks, each ~300 KB compressed
+    block1_compressed = len(bz2.compress(data[:900_000], 9))
+
+    src = io.BytesIO(stream)
+    out = io.BytesIO()
+    state = {"reads_at_first_write": None, "reads": 0}
+
+    def read_chunk(n):
+        state["reads"] += 1
+        return src.read(n)
+
+    def write(b):
+        if state["reads_at_first_write"] is None:
+            state["reads_at_first_write"] = state["reads"]
+        out.write(b)
+
+    chunk = 16384
+    decompress_stream(read_chunk, write, n_workers=1, chunk_size=chunk)
+    assert out.getvalue() == data
+    bound = block1_compressed // chunk + 8
+    assert state["reads_at_first_write"] <= bound, (
+        state["reads_at_first_write"], bound)
+
+
+def test_stream_resumable_one_byte_chunks():
+    """Suspend/resume at every byte still decodes exactly."""
+    data = (b"resume " * 2000) + bytes(range(256)) * 40
+    stream = bz2.compress(data, 1)
+    got, _, tout = _stream(stream, chunk_size=1)
+    assert got == data and tout == len(data)
