@@ -31,9 +31,15 @@ def is_fully_periodic(arr):
     return False
 
 
-def has_periodic_block(raw):
+def has_periodic_block(raw, level=9):
+    """Does the stream contain a fully-periodic RLE1 block at this
+    level's split?  (The documented exception class: the BWT string is
+    identical, only the primary index is rotation-ambiguous.)  Must
+    use the level's own block boundaries — a periodic block can exist
+    at -1 that doesn't at -9."""
     from lbzip2_tpu.ref import rle1
-    for b in rle1.rle1_blocks(np.frombuffer(raw, np.uint8), 900000):
+    mbs = level * 100000
+    for b in rle1.rle1_blocks(np.frombuffer(raw, np.uint8), mbs):
         if b.data.size > 1 and is_fully_periodic(b.data):
             return True
     return False
@@ -73,7 +79,7 @@ def main():
                     ["/tmp/refbuild/lbzip2", f"-{lvl}", "-c", "-n1"],
                     input=exp, capture_output=True).stdout
                 if mine != theirs:
-                    if has_periodic_block(exp) and \
+                    if has_periodic_block(exp, lvl) and \
                             len(mine) == len(theirs) and \
                             bz2.decompress(mine) == exp:
                         nperiodic += 1
