@@ -100,21 +100,13 @@ def _chain_mtf(bwt: jnp.ndarray, ns: jnp.ndarray, cmaps: jnp.ndarray):
 chain_mtf = jax.jit(_chain_mtf)
 
 
-def _em_estep_batch(mtfv: jnp.ndarray, nm: jnp.ndarray,
-                    ninuse: jnp.ndarray, nt: jnp.ndarray,
-                    lengths: jnp.ndarray):
-    """One batched EM expectation step (exact spec semantics).
-
-    mtfv: (B, NP) int32 (entries >= nm ignored); nm, ninuse, nt: (B,);
-    lengths: (B, MAX_TREES, WIDTH) int32 code lengths with the per-row
-    dummy symbol's length 0.
-    Returns (selectors (B, G) int32 (garbage beyond the row's group
-    count), freqs (B, MAX_TREES, WIDTH) int32, ngroups (B,)).
-
-    Spec: per 50-symbol group the per-tree costs are base-1024 lanes of
-    a wrapping uint64 accumulator — carries from lower lanes pollute
-    upper ones (reference src/encode.c:1044-1084); first minimum wins.
-    """
+def _group_hist(mtfv: jnp.ndarray, nm: jnp.ndarray,
+                ninuse: jnp.ndarray):
+    """Per-group symbol histogram (B, G, WIDTH) f32, plus the padded
+    groups view and ngroups.  Computed ONCE per batch; every EM
+    E-step then reduces it with MXU matmuls.  Counts are <= 50, and
+    all downstream sums stay < 2^24, so f32 matmul arithmetic is
+    exact integer arithmetic throughout."""
     B, NP = mtfv.shape
     G = (NP + GROUP_SIZE - 1) // GROUP_SIZE
     pad_to = G * GROUP_SIZE
@@ -125,24 +117,45 @@ def _em_estep_batch(mtfv: jnp.ndarray, nm: jnp.ndarray,
         jnp.pad(mtfv, ((0, 0), (0, pad_to - NP))), as_)
     groups = padded.reshape(B, G, GROUP_SIZE)
     ngroups = (nm + GROUP_SIZE - 1) // GROUP_SIZE
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    gi = jnp.arange(G, dtype=jnp.int32)[None, :, None]
+    hist = jnp.zeros((B, G, WIDTH), jnp.float32).at[
+        bi, gi, jnp.minimum(groups, WIDTH - 1)].add(1.0)
+    return hist, groups, ngroups
 
-    # Per-tree group costs from ONE packed gather: lane t of the packed
-    # table is length[t][sym] << 10t in a pair of uint32 words (trees
-    # 0-2 low, 3-5 high).  Summing the packed words reproduces the
-    # reference's wrapping uint64-lane accumulation bit-for-bit: lane
-    # overflow carries into the next lane during the binary add, and
-    # the low word's bits 30.. carry into the high word's first lane.
-    flat = groups.reshape(B, G * GROUP_SIZE)
-    lo = (lengths[:, 0, :].astype(jnp.uint32) |
-          (lengths[:, 1, :].astype(jnp.uint32) << 10) |
-          (lengths[:, 2, :].astype(jnp.uint32) << 20))
-    hi = (lengths[:, 3, :].astype(jnp.uint32) |
-          (lengths[:, 4, :].astype(jnp.uint32) << 10) |
-          (lengths[:, 5, :].astype(jnp.uint32) << 20))
-    glo = jnp.take_along_axis(lo, flat, axis=1).reshape(
-        B, G, GROUP_SIZE).sum(axis=2, dtype=jnp.uint32)
-    ghi = jnp.take_along_axis(hi, flat, axis=1).reshape(
-        B, G, GROUP_SIZE).sum(axis=2, dtype=jnp.uint32)
+
+group_hist = jax.jit(_group_hist)
+
+_EXACT = jax.lax.Precision.HIGHEST  # f32 matmuls exact for ints < 2^24
+
+
+def _em_estep_hist(hist: jnp.ndarray, ngroups: jnp.ndarray,
+                   nt: jnp.ndarray, lengths: jnp.ndarray):
+    """One batched EM expectation step (exact spec semantics), as two
+    MXU matmuls over the per-group histogram (SURVEY §7.2: the
+    reference's find_best_tree is a matmul-shaped reduction,
+    src/encode.c:847-877).
+
+    hist: (B, G, WIDTH) from group_hist; nt: (B,); lengths:
+    (B, MAX_TREES, WIDTH) int32 code lengths (per-row dummy symbol 0).
+    Returns (selectors (B, G) int32, freqs (B, MAX_TREES, WIDTH)
+    int32).
+
+    Spec: per 50-symbol group the per-tree costs are base-1024 lanes
+    of a wrapping uint64 accumulator — carries from lower lanes
+    pollute upper ones (reference src/encode.c:1044-1084); first
+    minimum wins.  Integer sums commute, so packing the TRUE per-tree
+    costs into the same two uint32 words reproduces the reference's
+    per-symbol packed accumulation bit-for-bit.
+    """
+    B, G, _ = hist.shape
+    # true per-tree group costs: (B, G, W) @ (B, W, T) on the MXU
+    C = jax.lax.dot_general(
+        hist, lengths.astype(jnp.float32),
+        (((2,), (2,)), ((0,), (0,))), precision=_EXACT
+    ).astype(jnp.uint32)  # (B, G, MAX_TREES)
+    glo = C[..., 0] + (C[..., 1] << 10) + (C[..., 2] << 20)
+    ghi = C[..., 3] + (C[..., 4] << 10) + (C[..., 5] << 20)
     ghi = ghi + (glo >> 30)  # lane-2 overflow crosses the word boundary
     # 10-bit lane extraction, first-min selection
     best = jnp.full((B, G), 0x400, jnp.uint32)
@@ -155,14 +168,29 @@ def _em_estep_batch(mtfv: jnp.ndarray, nm: jnp.ndarray,
         best = jnp.where(better, c, best)
         bt = jnp.where(better, t, bt)
 
-    # per-selected-tree symbol histogram over all padded group symbols
-    gvalid = (jnp.arange(G, dtype=jnp.int32)[None] <
-              ngroups[:, None])[:, :, None]
-    flat_ids = bt[:, :, None] * WIDTH + jnp.minimum(groups, WIDTH - 1)
-    freqs = _hist_rows(flat_ids.reshape(B, -1),
-                       jnp.broadcast_to(gvalid, groups.shape).reshape(
-                           B, -1), MAX_TREES * WIDTH).reshape(
-        B, MAX_TREES, WIDTH)
+    # per-selected-tree symbol totals: (B, T, G) @ (B, G, W) matmul
+    gvalid = jnp.arange(G, dtype=jnp.int32)[None] < ngroups[:, None]
+    onehot = ((bt[:, None, :] == jnp.arange(
+        MAX_TREES, dtype=jnp.int32)[None, :, None]) &
+        gvalid[:, None, :]).astype(jnp.float32)
+    freqs = jax.lax.dot_general(
+        onehot, hist, (((2,), (1,)), ((0,), (0,))), precision=_EXACT
+    ).astype(jnp.int32)  # (B, MAX_TREES, WIDTH)
+    return bt, freqs
+
+
+em_estep_hist = jax.jit(_em_estep_hist)
+
+
+def _em_estep_batch(mtfv: jnp.ndarray, nm: jnp.ndarray,
+                    ninuse: jnp.ndarray, nt: jnp.ndarray,
+                    lengths: jnp.ndarray):
+    """One-shot E-step wrapper (tests, single iterations): builds the
+    group histogram and runs one matmul E-step.  Production drivers
+    build the histogram once and call em_estep_hist per iteration.
+    Returns (selectors, freqs, ngroups)."""
+    hist, _, ngroups = _group_hist(mtfv, nm, ninuse)
+    bt, freqs = _em_estep_hist(hist, ngroups, nt, lengths)
     return bt, freqs, ngroups
 
 
@@ -355,10 +383,12 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
 
     ninuse_dev = jnp.asarray(ninuse)
     nt_dev = jnp.asarray(nt_arr)
+    # group histogram once; each E-step is then two MXU matmuls
+    hist_g, _, ngroups_dev = group_hist(mtfv, nm, ninuse_dev)
     sel = freqs = None
     for it in range(cluster_factor):
-        sel, freqs, _ = em_estep_batch(mtfv, nm, ninuse_dev, nt_dev,
-                                       jnp.asarray(lengths))
+        sel, freqs = em_estep_hist(hist_g, ngroups_dev, nt_dev,
+                                   jnp.asarray(lengths))
         freqs_h = np.asarray(freqs).astype(np.uint32)
         if it < cluster_factor - 1:
             # C M-step writes symbols 0..as-1 only, so the zeroed
