@@ -259,15 +259,18 @@ def _pack_groups(mtfv: jnp.ndarray, nm: jnp.ndarray,
                    cv >> jnp.clip(end_in - 32, 0, 31).astype(jnp.uint32))
     lo = jnp.where(end_in <= 32, jnp.uint32(0),
                    cv << jnp.clip(64 - end_in, 0, 31).astype(jnp.uint32))
-    # accumulate into (B, G, 33) slot words, one unrolled step per code
-    # position (bit ranges never overlap, so add == or); keeps peak
-    # memory at (B, G, 33) instead of materializing a 4-D one-hot
-    w_iota = jnp.arange(_SLOT_WORDS + 1, dtype=jnp.int32)[None, None, :]
-    slots = jnp.zeros((B, G, _SLOT_WORDS + 1), jnp.uint32)
-    for i in range(GROUP_SIZE):
-        wi = widx[:, :, i:i + 1]
-        slots = slots + jnp.where(w_iota == wi, hi[:, :, i:i + 1], 0) \
-            + jnp.where(w_iota == wi + 1, lo[:, :, i:i + 1], 0)
+    # accumulate into (B, G, 33) slot words with two scatter-adds (one
+    # for each code's hi/lo word).  Codes' bit ranges never overlap, so
+    # integer add == or, carry-free — int32 scatter-add is exact
+    # (bitcast from u32; wraparound identical)
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    gi = jnp.arange(G, dtype=jnp.int32)[None, :, None]
+    slots = jnp.zeros((B, G, _SLOT_WORDS + 1), jnp.int32)
+    slots = slots.at[bi, gi, widx].add(
+        jax.lax.bitcast_convert_type(hi, jnp.int32))
+    slots = slots.at[bi, gi, widx + 1].add(
+        jax.lax.bitcast_convert_type(lo, jnp.int32))
+    slots = jax.lax.bitcast_convert_type(slots, jnp.uint32)
 
     # level 2: merge slots at group offsets start_bit + cumsum(gbits).
     gends = jnp.cumsum(gbits, axis=1) + start_bit[:, None]
