@@ -81,6 +81,23 @@ def test_device_pipeline_bit_exact_multibatch(enc, monkeypatch):
         assert {"prep_s", "dispatch_s", "ready_s", "done_t"} <= set(t)
 
 
+def test_device_token_and_raw_paths(enc, monkeypatch):
+    """Both fetch paths through the engine: text blocks download run
+    tokens; high-entropy rows overflow the token capacity and fall
+    back to per-row raw fetches.  Output bit-exact either way."""
+    _small_buckets(enc)
+    monkeypatch.setattr(enc, "_HOST_STEAL", False)
+    rng = np.random.default_rng(7)
+    text = (open("/root/reference/src/decode.c", "rb").read() * 8)
+    noise = rng.integers(0, 256, 200_000, np.uint8).tobytes()
+    data = text[:200_000] + noise  # token rows + raw-overflow rows
+    out = enc.compress(data, level=1)
+    from lbzip2_tpu.ref.encoder import compress as ref_compress
+    assert out == ref_compress(data, level=1)
+    assert enc.last_stats["host_blocks"] == 0
+    assert enc.last_stats["device_blocks"] >= 4
+
+
 def test_contended_first_result_wins(enc):
     """Both engines race for the same queue; duplicates are dropped and
     the stream is still bit-exact."""
