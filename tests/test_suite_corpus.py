@@ -42,9 +42,10 @@ def _is_fully_periodic(arr: np.ndarray) -> bool:
     return False
 
 
-def _has_periodic_block(raw: bytes) -> bool:
+def _has_periodic_block(raw: bytes, level: int) -> bool:
     from lbzip2_tpu.ref import rle1
-    for b in rle1.rle1_blocks(np.frombuffer(raw, np.uint8), 900000):
+    for b in rle1.rle1_blocks(np.frombuffer(raw, np.uint8),
+                              level * 100000):
         if b.data.size > 1 and _is_fully_periodic(b.data):
             return True
     return False
@@ -64,10 +65,15 @@ def test_suite_case(path):
 
     if not REF_BIN.exists():
         return
-    mine = ref_compress(exp, 9)
-    theirs = subprocess.run([str(REF_BIN), "-9", "-c", "-n1"], input=exp,
-                            capture_output=True).stdout
-    if mine != theirs:
-        assert _has_periodic_block(exp), f"non-periodic mismatch: {path}"
-        assert len(mine) == len(theirs)
-        assert bz2.decompress(mine) == exp
+    # block-size levels exercise different split/entropy regimes
+    # (full 3-level sweep: tools/run_full_suite.py --levels 9,5,1)
+    for level in (9, 5, 1):
+        mine = ref_compress(exp, level)
+        theirs = subprocess.run(
+            [str(REF_BIN), f"-{level}", "-c", "-n1"], input=exp,
+            capture_output=True).stdout
+        if mine != theirs:
+            assert _has_periodic_block(exp, level), \
+                f"non-periodic mismatch: {path} level {level}"
+            assert len(mine) == len(theirs)
+            assert bz2.decompress(mine) == exp
