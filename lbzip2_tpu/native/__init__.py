@@ -113,6 +113,23 @@ def get_lib():
         lib.lbz2_scan_magic.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_uint64,
             ctypes.c_void_p]
+        lib.lbz2_ibwt_order.restype = ctypes.c_long
+        lib.lbz2_ibwt_order.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.lbz2_rle_init.restype = None
+        lib.lbz2_rle_init.argtypes = [ctypes.c_void_p]
+        lib.lbz2_rle1_expand_chunk.restype = ctypes.c_long
+        lib.lbz2_rle1_expand_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long]
+        lib.lbz2_rle_done.restype = ctypes.c_int
+        lib.lbz2_rle_done.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.lbz2_ibwt_emit2.restype = ctypes.c_long
+        lib.lbz2_ibwt_emit2.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
         lib.lbz2_retr_new.restype = ctypes.c_void_p
         lib.lbz2_retr_new.argtypes = []
         lib.lbz2_retr_free.restype = None
@@ -256,46 +273,62 @@ class _EmitState(ctypes.Structure):
                 ("last", ctypes.c_int), ("crc", ctypes.c_uint32)]
 
 
+class _RleState(ctypes.Structure):
+    _fields_ = [("k", ctypes.c_long), ("pending", ctypes.c_long),
+                ("run", ctypes.c_int), ("last", ctypes.c_int)]
+
+
 class EmitCursor:
     """Resumable IBWT+RLE1 emitter over one decoded block.
 
     Mirrors the reference's suspendable emit (decode.c:944-1144): call
     next_chunk(cap) repeatedly; None signals completion.  crc is valid
-    once done.  Raises ValueError on a truncated final run."""
+    once done.  Raises ValueError on a truncated final run.
+
+    Internals: the decode order is materialized once at construction
+    (bidirectional chase — two overlapped pointer chains), then each
+    chunk is a linear RLE1 expansion with the slice-by-8 CRC folded
+    over the produced bytes."""
 
     def __init__(self, bwt: np.ndarray, idx: int, rand_flag: int):
         self._lib = get_lib()
-        self._bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
-        self._n = self._bwt.size
-        self._ptr = np.empty(self._n, np.int32)
-        start = self._lib.lbz2_ibwt_links(
-            self._bwt.ctypes.data_as(ctypes.c_void_p), self._n, idx,
-            self._ptr.ctypes.data_as(ctypes.c_void_p))
-        if start < 0:
+        bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+        self._n = bwt.size
+        ptr = np.empty(self._n, np.int32)
+        pred = np.empty(self._n, np.int32)
+        self._rle = np.empty(self._n, np.uint8)
+        r = self._lib.lbz2_ibwt_order(
+            bwt.ctypes.data_as(ctypes.c_void_p), self._n, idx,
+            rand_flag, ptr.ctypes.data_as(ctypes.c_void_p),
+            pred.ctypes.data_as(ctypes.c_void_p),
+            self._rle.ctypes.data_as(ctypes.c_void_p))
+        if r < 0:
             raise ValueError("bad BWT index")
-        self._st = _EmitState()
-        self._lib.lbz2_emit_init(ctypes.byref(self._st), start)
-        self._rand = rand_flag
+        self._st = _RleState()
+        self._lib.lbz2_rle_init(ctypes.byref(self._st))
+        self._crc = 0xFFFFFFFF
         self.done = False
 
     def next_chunk(self, cap: int) -> bytes | None:
         if self.done:
             return None
         out = np.empty(cap, np.uint8)
-        r = self._lib.lbz2_emit_chunk(
-            self._bwt.ctypes.data_as(ctypes.c_void_p), self._n,
-            self._ptr.ctypes.data_as(ctypes.c_void_p), self._rand,
-            ctypes.byref(self._st), out.ctypes.data_as(ctypes.c_void_p),
-            cap)
+        r = self._lib.lbz2_rle1_expand_chunk(
+            self._rle.ctypes.data_as(ctypes.c_void_p), self._n,
+            ctypes.byref(self._st),
+            out.ctypes.data_as(ctypes.c_void_p), cap)
         if r == -2:
             raise ValueError("missing run length")
-        if self._lib.lbz2_emit_done(ctypes.byref(self._st), self._n):
+        self._crc = int(self._lib.lbz2_crc32_block(
+            out.ctypes.data_as(ctypes.c_void_p), r,
+            self._crc & 0xFFFFFFFF))
+        if self._lib.lbz2_rle_done(ctypes.byref(self._st), self._n):
             self.done = True
         return out[:r].tobytes()
 
     @property
     def crc(self) -> int:
-        return (int(self._st.crc) ^ 0xFFFFFFFF) & 0xFFFFFFFF
+        return (self._crc ^ 0xFFFFFFFF) & 0xFFFFFFFF
 
 
 def lyndon_prep(block: np.ndarray, out: np.ndarray | None = None
@@ -520,21 +553,34 @@ def ibwt_emit(bwt: np.ndarray, idx: int, rand_flag: int,
     """Fused IBWT + derandomize + RLE1-expand + CRC.
 
     Returns (out_bytes, crc_register) or raises ValueError on
-    missing-run-length / overflow."""
+    missing-run-length / overflow.  Internals: bidirectional-chase
+    ordering + linear expansion + slice-by-8 CRC (lbz2_ibwt_emit2)."""
     lib = get_lib()
     bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
     n = bwt.size
-    if out_cap is None:
-        out_cap = 256 * n + 4096  # RLE1 expands at most 255x + literals
-    scratch = np.empty(n, np.int32)
-    out = np.empty(out_cap, np.uint8)
-    crc = ctypes.c_uint32(0)
-    r = lib.lbz2_ibwt_emit(
-        bwt.ctypes.data_as(ctypes.c_void_p), n, idx, rand_flag,
-        scratch.ctypes.data_as(ctypes.c_void_p),
-        out.ctypes.data_as(ctypes.c_void_p), out_cap, ctypes.byref(crc))
+    ptr = np.empty(n, np.int32)
+    pred = np.empty(n, np.int32)
+    rle = np.empty(n, np.uint8)
+    # staged capacity: most blocks expand < 4x; retry with the 255x
+    # worst case only when needed (a single 256n allocation costs more
+    # page-fault time than the whole expansion)
+    caps = (out_cap,) if out_cap is not None else \
+        (4 * n + 4096, 256 * n + 4096)
+    for cap in caps:
+        out = np.empty(cap, np.uint8)
+        crc = ctypes.c_uint32(0)
+        r = lib.lbz2_ibwt_emit2(
+            bwt.ctypes.data_as(ctypes.c_void_p), n, idx, rand_flag,
+            ptr.ctypes.data_as(ctypes.c_void_p),
+            pred.ctypes.data_as(ctypes.c_void_p),
+            rle.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(crc))
+        if r != -1:
+            break
     if r == -2:
         raise ValueError("missing run length")
     if r == -1:
         raise MemoryError("output capacity exceeded")
+    if r == -3:
+        raise ValueError("bad BWT index")
     return out[:r], int(crc.value)

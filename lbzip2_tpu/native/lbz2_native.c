@@ -998,6 +998,135 @@ int lbz2_emit_done(const lbz2_emit_state *st, long n) {
   return st->k >= n && st->pending == 0;
 }
 
+/* --- bidirectional IBWT ordering + linear RLE1 expansion -----------
+ *
+ * The list chase is latency-bound (a serial chain of cache misses);
+ * running the FORWARD chain from ptr[idx] and the BACKWARD chain from
+ * idx (via a predecessor table) interleaved overlaps two independent
+ * miss chains (~1.4x one chain on real blocks).  The RLE1 expansion
+ * then runs over the materialized linear buffer — no random loads,
+ * runs become memsets, and the CRC moves to the slice-by-8 kernel
+ * over the output.  Role of reference decode.c:852-930 + :944-1144,
+ * re-decomposed for ILP. */
+
+/* Materialize the decode-order byte sequence (incl. derandomization).
+ * ptr/pred: int32[n] scratch.  Returns 0 or -3 on a bad index. */
+long lbz2_ibwt_order(const uint8_t *bwt, long n, long idx,
+                     int rand_flag, int32_t *ptr, int32_t *pred,
+                     uint8_t *rle_out) {
+  if (idx < 0 || idx >= n) return -3;
+  long cnt[256];
+  memset(cnt, 0, sizeof(cnt));
+  for (long i = 0; i < n; i++) cnt[bwt[i]]++;
+  long base[256], cum = 0;
+  for (int c = 0; c < 256; c++) { base[c] = cum; cum += cnt[c]; }
+  for (long i = 0; i < n; i++) ptr[base[bwt[i]]++] = (int32_t)i;
+  for (long i = 0; i < n; i++) pred[ptr[i]] = (int32_t)i;
+  long h = n / 2;
+  long cur = ptr[idx], p = idx;
+  long k = 0, k2 = 0;
+  for (; k < h; k++, k2++) {
+    rle_out[k] = bwt[cur];
+    cur = ptr[cur];
+    rle_out[n - 1 - k2] = bwt[p];
+    p = pred[p];
+  }
+  for (; k < n - k2; k++) { rle_out[k] = bwt[cur]; cur = ptr[cur]; }
+  if (rand_flag) { /* toggle at the legacy derandomization positions */
+    long ri = 0, rj = 617;
+    while (rj < n) {
+      rle_out[rj] ^= 1;
+      ri = (ri + 1) & 0x1FF;
+      rj += rand_table[ri];
+    }
+  }
+  return 0;
+}
+
+typedef struct {
+  long k;       /* order-buffer bytes consumed */
+  long pending; /* run bytes still to emit (buffer-full suspend) */
+  int run;
+  int last;
+} lbz2_rle_state;
+
+void lbz2_rle_init(lbz2_rle_state *st) {
+  st->k = 0;
+  st->pending = 0;
+  st->run = 0;
+  st->last = -1;
+}
+
+/* Emit up to out_cap bytes from the linear order buffer; resumable.
+ * Returns bytes written or -2 on a truncated final run.  CRC is NOT
+ * folded here — callers run the slice-by-8 kernel over the output. */
+long lbz2_rle1_expand_chunk(const uint8_t *rle, long n,
+                            lbz2_rle_state *st, uint8_t *out,
+                            long out_cap) {
+  long op = 0;
+  int run = st->run, last = st->last;
+  long k = st->k;
+  if (st->pending > 0) {
+    long now = st->pending < out_cap ? st->pending : out_cap;
+    memset(out, (uint8_t)last, (size_t)now);
+    op = now;
+    st->pending -= now;
+    if (st->pending > 0) goto suspend;
+    run = 0;
+    last = -1;
+  }
+  while (k < n) {
+    if (op >= out_cap) goto suspend;
+    uint32_t ch = rle[k++];
+    if (run == 4) {
+      long extra = ch;
+      long now = extra < out_cap - op ? extra : out_cap - op;
+      memset(out + op, (uint8_t)last, (size_t)now);
+      op += now;
+      if (now < extra) {
+        st->pending = extra - now;
+        run = 0;
+        goto suspend;
+      }
+      run = 0;
+      last = -1;
+      continue;
+    }
+    if ((int)ch == last) run++; else { run = 1; last = (int)ch; }
+    out[op++] = (uint8_t)ch;
+  }
+  if (run == 4) return -2; /* missing run length */
+
+suspend:
+  st->run = run;
+  st->last = last;
+  st->k = k;
+  return op;
+}
+
+int lbz2_rle_done(const lbz2_rle_state *st, long n) {
+  return st->k >= n && st->pending == 0;
+}
+
+/* One-shot: order + expand + slice-by-8 CRC.  Returns output length,
+ * -1 if out_cap exceeded, -2 on missing run length, -3 bad index. */
+long lbz2_ibwt_emit2(const uint8_t *bwt, long n, long idx,
+                     int rand_flag, int32_t *ptr, int32_t *pred,
+                     uint8_t *rle_scratch, uint8_t *out, long out_cap,
+                     uint32_t *crc_out) {
+  long r = lbz2_ibwt_order(bwt, n, idx, rand_flag, ptr, pred,
+                           rle_scratch);
+  if (r < 0) return r;
+  lbz2_rle_state st;
+  lbz2_rle_init(&st);
+  long op = lbz2_rle1_expand_chunk(rle_scratch, n, &st, out, out_cap);
+  if (op == -2) return -2;
+  if (!lbz2_rle_done(&st, n)) return -1;
+  crc_init();
+  *crc_out = lbz2_crc32_block(out, op, 0xFFFFFFFFu);
+  return op;
+}
+
 /* IBWT + optional derandomization + RLE1 expansion + CRC.
  * ptr_scratch: caller-provided int32[n].
  * Returns output length, or -1 if out_cap exceeded, -2 on missing run
