@@ -163,26 +163,44 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
 
   initial_classes(lengths, mtf_freq, as, nm, nt);
 
-  /* EM iterations.  E-step: per-group true bit costs per tree from a
-   * symbol-major (transposed) length table — one contiguous 8-lane
-   * uint16 add per symbol — then folded through the spec's packed
-   * 10-bit-lane carry chain before comparison (cost lanes wrap mod
-   * 1024 and overflow carries into the next tree's lane). */
+  /* EM iterations.  E-step: per-group TRUE bit costs per tree from a
+   * symbol-major length table of two uint64 words with 16-bit lanes
+   * (4 trees each; a lane's sum is <= 50*255 so lanes never carry into
+   * each other — two plain 64-bit adds per symbol, two independent
+   * dependency chains).  The true sums are then folded through the
+   * spec's packed 10-bit-lane carry chain before comparison (cost
+   * lanes wrap mod 1024 and overflow carries into the next tree's
+   * lane — reference semantics, src/encode.c:847-877; summation
+   * commutes, so folding after the group sum is bit-identical to
+   * folding per symbol). */
   for (int iter = 0; iter < cluster_factor; iter++) {
-    static __thread uint16_t lenT[MAX_ALPHA + 1][8];
-    for (int v = 0; v <= as; v++)
-      for (int t = 0; t < 8; t++)
-        lenT[v][t] = (v < as && t < MAX_TREES) ? lengths[t][v] : 0;
+    static __thread uint64_t lenP[MAX_ALPHA + 1][2];
+    for (int v = 0; v <= as; v++) {
+      uint64_t a = 0, b = 0;
+      for (int t = 0; t < 4; t++) {
+        a |= (uint64_t)((v < as && t < MAX_TREES) ? lengths[t][v] : 0)
+             << (16 * t);
+        b |= (uint64_t)((v < as && t + 4 < MAX_TREES)
+                        ? lengths[t + 4][v] : 0) << (16 * t);
+      }
+      lenP[v][0] = a;
+      lenP[v][1] = b;
+    }
 
     memset(freqs, 0, (size_t)nt * sizeof(freqs[0]));
     uint8_t *sp = selectors;
     for (long g = 0; g < ns; g++) {
       const uint16_t *gs = mtfv + g * GROUP_SIZE;
-      uint16_t acc[8] = {0};
+      uint64_t a0 = 0, a1 = 0;
       for (int i = 0; i < GROUP_SIZE; i++) {
-        const uint16_t *lv = lenT[gs[i]];
-        for (int t = 0; t < 8; t++) acc[t] += lv[t];
+        const uint64_t *lp = lenP[gs[i]];
+        a0 += lp[0];
+        a1 += lp[1];
       }
+      uint16_t acc[8] = {
+        (uint16_t)a0, (uint16_t)(a0 >> 16), (uint16_t)(a0 >> 32),
+        (uint16_t)(a0 >> 48), (uint16_t)a1, (uint16_t)(a1 >> 16),
+        (uint16_t)(a1 >> 32), (uint16_t)(a1 >> 48)};
       uint32_t carry = 0;
       unsigned bc = 0x400;
       int bt = 0;
