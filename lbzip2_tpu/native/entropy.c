@@ -173,6 +173,13 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
    * lane — reference semantics, src/encode.c:847-877; summation
    * commutes, so folding after the group sum is bit-identical to
    * folding per symbol). */
+  /* Fixed-point cutoff: if an E-step reproduces the previous
+   * iteration's selectors, freqs are identical too, the M-step
+   * reproduces the same lengths, and every remaining iteration is the
+   * identity — so the final (lengths, freqs, selectors) state equals
+   * the full cluster_factor run's, bit-for-bit, and the loop may
+   * stop.  EM typically converges in 3-5 of the 8 iterations. */
+  static __thread uint8_t prev_sel[EM_MAX_GROUPS + 1];
   for (int iter = 0; iter < cluster_factor; iter++) {
     static __thread uint64_t lenP[MAX_ALPHA + 1][2];
     for (int v = 0; v <= as; v++) {
@@ -215,6 +222,10 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
     }
     for (int t = 0; t < nt; t++)
       make_code_lengths2(lengths[t], freqs[t], as);
+    if (iter > 0 && memcmp(selectors, prev_sel, (size_t)ns) == 0)
+      break;  /* fixed point reached */
+    if (iter < cluster_factor - 1)
+      memcpy(prev_sel, selectors, (size_t)ns);
   }
 
   /* reorder trees by first use; assign final codes */

@@ -388,11 +388,17 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     nt_dev = jnp.asarray(nt_arr)
     # group histogram once; each E-step is then two MXU matmuls
     hist_g, _, ngroups_dev = group_hist(mtfv, nm, ninuse_dev)
-    sel = freqs = None
+    sel = freqs = prev_sel = None
     for it in range(cluster_factor):
         sel, freqs = em_estep_hist(hist_g, ngroups_dev, nt_dev,
                                    jnp.asarray(lengths))
         freqs_h = np.asarray(freqs).astype(np.uint32)
+        # fixed-point cutoff (same argument as the C encoder): equal
+        # selectors => equal freqs => the already-applied M-step's
+        # lengths are final; remaining iterations are the identity
+        if prev_sel is not None and bool(jnp.all(sel == prev_sel)):
+            break
+        prev_sel = sel
         if it < cluster_factor - 1:
             # C M-step writes symbols 0..as-1 only, so the zeroed
             # dummy columns (>= as) persist across iterations
