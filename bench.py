@@ -111,8 +111,8 @@ def level_parity(data: bytes, levels=(1, 5, 9)):
     return out
 
 
-def _device_alive(timeout_s: int = 240, attempts: int = 4,
-                  retry_wait_s: int = 120) -> bool:
+def _device_alive(timeout_s: int = 240, attempts: int = 6,
+                  retry_wait_s: int = 180) -> bool:
     """Probe the TPU in a subprocess so a hung tunnel can't wedge bench.
 
     The tunnel goes through multi-minute outages; retry a few times

@@ -190,9 +190,17 @@ static inline uint32_t bits_peek20(const bits_t *b) {
   long byte = b->pos >> 3;
   int off = (int)(b->pos & 7);
   long nbytes = (b->nbits + 7) >> 3;
-  uint64_t v = 0;
-  for (int k = 0; k < 4; k++)
-    v = (v << 8) | (uint64_t)((byte + k) < nbytes ? b->data[byte + k] : 0);
+  uint64_t v;
+  if (byte + 4 <= nbytes) {  /* hot path: one unaligned load */
+    uint32_t w;
+    memcpy(&w, b->data + byte, 4);
+    v = __builtin_bswap32(w);
+  } else {
+    v = 0;
+    for (int k = 0; k < 4; k++)
+      v = (v << 8) |
+          (uint64_t)((byte + k) < nbytes ? b->data[byte + k] : 0);
+  }
   v >>= (12 - off);
   return (uint32_t)(v & 0xFFFFF);
 }
