@@ -1,0 +1,492 @@
+/* itbwt.c — two-stage suffix sort (Itoh–Tanaka style) for the host BWT.
+ *
+ * Clean-room implementation of the published two-stage / B*-subset
+ * suffix sorting idea (Itoh & Tanaka 1999; the reference's divbwt,
+ * src/divbwt.c:1488-1726, is the behavioral spec of the role this
+ * fills).  Differences from the reference by design:
+ *   - operates on a plain string with virtual-sentinel suffix
+ *     semantics (the caller passes the least rotation R of the block,
+ *     whose suffix order equals its rotation order); the reference
+ *     wraps one character (T[n]=T[0]) and handles rotations directly;
+ *   - B* substrings are ordered by a ternary-split multikey quicksort
+ *     plus a Larsson–Sadakane prefix-doubling pass over the reduced
+ *     rank sequence (the reference uses a bespoke introsort with
+ *     block swap-merges plus a tandem-repeat sort);
+ *   - the BWT byte for a slot is emitted into a separate output array
+ *     at the moment the slot's suffix is placed (the reference stores
+ *     complemented characters into the suffix array in place).
+ *
+ * Suffix types (scanning right to left; suffix n-1 is type A because
+ * the virtual sentinel is smaller than everything):
+ *   A: suffix i >  suffix i+1  (R[i] > R[i+1], or equal chars and
+ *                               i+1 is A)
+ *   B: suffix i <  suffix i+1
+ *   B* = type B suffix whose successor suffix is type A.
+ * Every plain-B suffix has a B successor, so once the B* subset is
+ * sorted, one right-to-left scan per first-char region induces all B
+ * suffixes, and one left-to-right scan over the whole array induces
+ * all A suffixes (and the BWT falls out).
+ */
+
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+#ifdef ITB_PROF
+#include <stdio.h>
+#include <time.h>
+double ITBP[8];
+static double itbp_now(void){struct timespec ts;clock_gettime(CLOCK_MONOTONIC,&ts);return ts.tv_sec+1e-9*ts.tv_nsec;}
+#define ITBT(k) ITBP[k] += itbp_now() - _itb_t0; _itb_t0 = itbp_now();
+#else
+#define ITBT(k)
+#endif
+
+/* ---- substring machinery -------------------------------------------- */
+
+typedef struct {
+  const uint8_t *R;
+  const int32_t *PB;   /* B* positions, ascending text order */
+  int32_t m, n;
+} itb_ctx;
+
+/* end (exclusive) of B* substring #j: next B* start + 2, or n */
+static inline int32_t itb_end(const itb_ctx *c, int32_t j) {
+  return (j + 1 < c->m) ? c->PB[j + 1] + 2 : c->n;
+}
+
+/* byte key of substring #j at depth d: -1 once exhausted */
+static inline int32_t itb_key(const itb_ctx *c, int32_t j, int32_t d) {
+  int32_t p = c->PB[j];
+  return (p + d < itb_end(c, j)) ? (int32_t)c->R[p + d] : -1;
+}
+
+/* full compare of substrings #a, #b from depth d (both known equal
+ * before d).  <0, 0, >0; 0 means identical content and length. */
+static int itb_cmp(const itb_ctx *c, int32_t a, int32_t b, int32_t d) {
+  const uint8_t *R = c->R;
+  int32_t pa = c->PB[a], pb = c->PB[b];
+  int32_t ea = itb_end(c, a), eb = itb_end(c, b);
+  int32_t ia = pa + d, ib = pb + d;
+  while (ia < ea && ib < eb) {
+    if (R[ia] != R[ib]) return (int)R[ia] - (int)R[ib];
+    ia++; ib++;
+  }
+  if (ia < ea) return 1;   /* b exhausted first -> b smaller */
+  if (ib < eb) return -1;
+  return 0;
+}
+
+/* ternary-split multikey quicksort of B*-indices A[0..cnt) from depth
+ * d (explicit stack; insertion sort for small runs). */
+static void itb_mkqsort(const itb_ctx *c, int32_t *A, int32_t cnt,
+                        int32_t d0) {
+  struct { int32_t *a; int32_t cnt, d; } stk[64];
+  int sp = 0;
+  stk[sp].a = A; stk[sp].cnt = cnt; stk[sp].d = d0; sp++;
+  while (sp > 0) {
+    sp--;
+    int32_t *a = stk[sp].a;
+    int32_t nn = stk[sp].cnt, d = stk[sp].d;
+    while (nn > 1) {
+      if (nn <= 12) {
+        for (int32_t i = 1; i < nn; i++) {
+          int32_t v = a[i], j = i;
+          while (j > 0 && itb_cmp(c, a[j - 1], v, d) > 0) {
+            a[j] = a[j - 1]; j--;
+          }
+          a[j] = v;
+        }
+        break;
+      }
+      /* median-of-3 pivot key */
+      int32_t k0 = itb_key(c, a[0], d);
+      int32_t k1 = itb_key(c, a[nn / 2], d);
+      int32_t k2 = itb_key(c, a[nn - 1], d);
+      int32_t kp;
+      if (k0 < k1) kp = (k1 < k2) ? k1 : (k0 < k2 ? k2 : k0);
+      else kp = (k0 < k2) ? k0 : (k1 < k2 ? k2 : k1);
+      /* 3-way partition on key kp */
+      int32_t lo = 0, i = 0, hi = nn;
+      while (i < hi) {
+        int32_t k = itb_key(c, a[i], d);
+        if (k < kp) { int32_t t = a[lo]; a[lo] = a[i]; a[i] = t;
+                      lo++; i++; }
+        else if (k > kp) { hi--; int32_t t = a[hi]; a[hi] = a[i];
+                           a[i] = t; }
+        else i++;
+      }
+      /* [0,lo) < kp; [lo,hi) == kp; [hi,nn) > kp.  Loop on the
+       * largest of the three (stack depth stays logarithmic even
+       * for very deep common prefixes); push the other two. */
+      int32_t sl = lo, sg = nn - hi;
+      int32_t se = ((kp >= 0) && (hi - lo > 1)) ? hi - lo : 0;
+      int32_t *pa[3] = { a, a + lo, a + hi };
+      int32_t pc[3] = { sl, se, sg };
+      int32_t pd[3] = { d, d + 1, d };
+      int big = 0;
+      if (pc[1] > pc[big]) big = 1;
+      if (pc[2] > pc[big]) big = 2;
+      for (int q = 0; q < 3; q++) {
+        if (q == big || pc[q] <= 1) continue;
+        stk[sp].a = pa[q]; stk[sp].cnt = pc[q]; stk[sp].d = pd[q];
+        sp++;
+      }
+      if (pc[big] <= 1) break;
+      a = pa[big]; nn = pc[big]; d = pd[big];
+    }
+  }
+}
+
+/* ---- Larsson–Sadakane doubling over the reduced rank sequence ------- */
+
+/* quicksort of packed (key << 20 | value) words, ascending; values
+ * occupy the low 20 bits so key order dominates */
+static void itb_u64sort(uint64_t *a, int32_t lo, int32_t hi) {
+  while (hi - lo > 10) {
+    uint64_t x = a[lo], y = a[(lo + hi) / 2], z = a[hi];
+    uint64_t kp = x < y ? (y < z ? y : (x < z ? z : x))
+                        : (x < z ? x : (y < z ? z : y));
+    kp >>= 20;
+    int32_t i = lo, j = hi, k = lo;
+    while (k <= j) {
+      uint64_t v = a[k] >> 20;
+      if (v < kp) { uint64_t t = a[i]; a[i] = a[k]; a[k] = t;
+                    i++; k++; }
+      else if (v > kp) { uint64_t t = a[j]; a[j] = a[k]; a[k] = t;
+                         j--; }
+      else k++;
+    }
+    if (i - lo < hi - j) { itb_u64sort(a, lo, i - 1); lo = j + 1; }
+    else { itb_u64sort(a, j + 1, hi); hi = i - 1; }
+  }
+  for (int32_t i = lo + 1; i <= hi; i++) {
+    uint64_t v = a[i];
+    int32_t j = i;
+    while (j > lo && (a[j - 1] >> 20) > (v >> 20)) {
+      a[j] = a[j - 1]; j--;
+    }
+    a[j] = v;
+  }
+}
+
+/* ---- the full suffix sort ------------------------------------------- */
+
+/* Suffix-sort R[0..n) (virtual sentinel) into SA[0..n) and emit the
+ * rotation BWT bytes (bwt[r] = R[(SA[r]+n-1) mod n]).  Returns the
+ * slot of suffix `want` (-1 if want < 0), or -9 when the input has no
+ * B* suffix (caller falls back; cannot happen for Lyndon inputs). */
+long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
+             int32_t want) {
+  if (n < 2) { if (n == 1) { bwt_out[0] = R[0]; } return 0; }
+
+#ifdef ITB_PROF
+  double _itb_t0 = itbp_now();
+#endif
+  int32_t *cntA = (int32_t *)calloc(257, sizeof(int32_t));
+  int32_t *cntB = (int32_t *)calloc(65536, sizeof(int32_t));
+  int32_t *cntBs = (int32_t *)calloc(65536, sizeof(int32_t));
+  int32_t *PB = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n / 2 + 2));
+  if (!cntA || !cntB || !cntBs || !PB) {
+    free(cntA); free(cntB); free(cntBs); free(PB);
+    return -8;
+  }
+
+  /* classify + count (right to left); collect B* positions */
+  int32_t m = 0;
+  {
+    int32_t i = n - 1;
+    int c1 = R[n - 1];
+    cntA[c1]++;            /* suffix n-1: type A (sentinel) */
+    i--;
+    int prev_type_a = 1;
+    for (; i >= 0; i--) {
+      int c0 = R[i];
+      if (c0 > c1 || (c0 == c1 && prev_type_a)) {
+        cntA[c0]++;
+        prev_type_a = 1;
+      } else {
+        if (prev_type_a) { cntBs[(c0 << 8) | c1]++; PB[m++] = i; }
+        else cntB[(c0 << 8) | c1]++;
+        prev_type_a = 0;
+      }
+      c1 = c0;
+    }
+  }
+  if (m == 0) { free(cntA); free(cntB); free(cntBs); free(PB);
+                return -9; }
+  /* PB was collected right-to-left: reverse to ascending */
+  for (int32_t i = 0, j = m - 1; i < j; i++, j--) {
+    int32_t t = PB[i]; PB[i] = PB[j]; PB[j] = t;
+  }
+
+  int32_t *SB = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+  int32_t *RK = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+  if (!SB || !RK) {
+    free(cntA); free(cntB); free(cntBs); free(PB); free(SB); free(RK);
+    return -8;
+  }
+  /* cumulative B* bucket ends (placement consumes the global sorted
+   * order bucket by bucket) */
+  {
+    int32_t sum = 0;
+    for (int32_t b = 0; b < 65536; b++) {
+      sum += cntBs[b];
+      cntBs[b] = sum;
+    }
+  }
+
+  ITBT(0)  /* classify + bucket sums */
+  itb_ctx C = { R, PB, m, n };
+
+  /* Global substring sort, stage 1: LSD radix over a packed 63-bit
+   * key of the first 7 substring symbols, 9 bits each (byte value + 1;
+   * 0 = past-end, which sorts first, matching the first-exhausted-is-
+   * smaller substring order).  Average B* substring length is ~3.5+2,
+   * so 7 symbols fully resolve the overwhelming majority; groups still
+   * tied on the key finish with multikey quicksort at depth 7. */
+  {
+    uint64_t *K = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
+    uint64_t *K2 = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
+    int32_t *V2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+    int32_t *hist = (int32_t *)malloc(sizeof(int32_t) * 65536);
+    if (!K || !K2 || !V2 || !hist) {
+      free(K); free(K2); free(V2); free(hist);
+      free(cntA); free(cntB); free(cntBs); free(PB); free(SB); free(RK);
+      return -8;
+    }
+    for (int32_t j = 0; j < m; j++) {
+      int32_t p = PB[j];
+      int32_t e = (j + 1 < m) ? PB[j + 1] + 2 : n;
+      uint64_t k = 0;
+      int32_t w = e - p;
+      if (w >= 7) {
+        for (int q = 0; q < 7; q++)
+          k = (k << 9) | (uint64_t)(R[p + q] + 1);
+      } else {
+        for (int q = 0; q < w; q++)
+          k = (k << 9) | (uint64_t)(R[p + q] + 1);
+        k <<= 9 * (7 - w);
+      }
+      K[j] = k;
+      SB[j] = j;
+    }
+    int32_t *V = SB;
+    for (int pass = 0; pass < 4; pass++) {
+      int sh = 16 * pass;
+      memset(hist, 0, 65536 * sizeof(int32_t));
+      for (int32_t x = 0; x < m; x++) hist[(K[x] >> sh) & 65535]++;
+      int32_t sum = 0;
+      for (int32_t b = 0; b < 65536; b++) {
+        int32_t t = hist[b]; hist[b] = sum; sum += t;
+      }
+      for (int32_t x = 0; x < m; x++) {
+        int32_t d = hist[(K[x] >> sh) & 65535]++;
+        K2[d] = K[x];
+        V2[d] = V[x];
+      }
+      uint64_t *tk = K; K = K2; K2 = tk;
+      int32_t *tv = V; V = V2; V2 = tv;
+    }
+    uint64_t *KS = K;                 /* keys aligned with V */
+    if (V != SB) memcpy(SB, V, sizeof(int32_t) * (size_t)m);
+
+    ITBT(1)  /* key build + radix */
+    /* stage 2 (rare): multikey quicksort inside equal-key runs whose
+     * key has no past-end symbol, then name tied groups.  rank = the
+     * last slot of each tied group. */
+    {
+      int32_t gs = 0;
+      while (gs < m) {
+        int32_t ge = gs + 1;
+        uint64_t k = KS[gs];
+        while (ge < m && KS[ge] == k) ge++;
+        if (ge - gs > 1 && (k & 511) != 0) {
+          itb_mkqsort(&C, SB + gs, ge - gs, 7);
+          int32_t r_end;
+          for (int32_t r = ge - 1; r >= gs; r = r_end - 1) {
+            r_end = r;
+            while (r_end > gs &&
+                   itb_cmp(&C, SB[r_end - 1], SB[r_end], 7) == 0)
+              r_end--;
+            for (int32_t x = r_end; x <= r; x++) RK[SB[x]] = r;
+          }
+        } else {
+          /* singleton, or identical short substrings (key exhausted) */
+          for (int32_t x = gs; x < ge; x++) RK[SB[x]] = ge - 1;
+        }
+        gs = ge;
+      }
+    }
+    free(K); free(K2); free(hist);
+    free(V == SB ? V2 : V);   /* exactly one of V/V2 is the malloc */
+  }
+
+  ITBT(2)  /* naming */
+  /* Larsson–Sadakane doubling on unsorted groups (double-buffered
+   * worklist of [lo,hi] slot ranges; every group has >= 2 members so
+   * each list holds at most m entries). */
+  {
+    int32_t *W = (int32_t *)malloc(sizeof(int32_t) * (size_t)(m + 2));
+    int32_t *W2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)(m + 2));
+    uint64_t *PK = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
+    if (!W || !W2 || !PK) {
+      free(W); free(W2); free(PK); free(cntA); free(cntB); free(cntBs);
+      free(PB); free(SB); free(RK);
+      return -8;
+    }
+    int32_t wn = 0;
+    for (int32_t r = 0; r < m;) {
+      int32_t hi = RK[SB[r]];
+      if (hi > r) { W[wn++] = r; W[wn++] = hi; }
+      r = hi + 1;
+    }
+    int32_t h = 1;
+    while (wn > 0) {
+      int32_t wm = 0;
+      for (int32_t w = 0; w < wn; w += 2) {
+        int32_t lo = W[w], hi = W[w + 1];
+        /* pack (rank-of-(j+h) + 1, j): 20 low bits of value keep key
+         * order dominant; rank -1 (reduced suffix ends) packs as 0 */
+        for (int32_t x = lo; x <= hi; x++) {
+          int32_t j = SB[x];
+          uint64_t key = (j + h < m) ? (uint64_t)(RK[j + h] + 1) : 0;
+          PK[x] = (key << 20) | (uint32_t)j;
+        }
+        itb_u64sort(PK, lo, hi);
+        /* split into subgroups, refresh ranks */
+        int32_t gs = lo;
+        for (int32_t x = lo + 1; x <= hi + 1; x++) {
+          if (x > hi || (PK[x] >> 20) != (PK[gs] >> 20)) {
+            for (int32_t y = gs; y < x; y++) {
+              int32_t j = (int32_t)(PK[y] & 0xFFFFF);
+              SB[y] = j;
+              RK[j] = x - 1;
+            }
+            if (x - gs > 1) { W2[wm++] = gs; W2[wm++] = x - 1; }
+            gs = x;
+          }
+        }
+      }
+      int32_t *t = W; W = W2; W2 = t;
+      wn = wm;
+      h *= 2;
+    }
+    free(W); free(W2); free(PK);
+  }
+
+  ITBT(3)  /* LS doubling */
+  /* ---- bucket layout over the full SA ------------------------------ */
+  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+  int32_t *kA = (int32_t *)malloc(sizeof(int32_t) * 256);
+  int32_t *kB = (int32_t *)malloc(sizeof(int32_t) * 256);
+  int32_t *regS = (int32_t *)malloc(sizeof(int32_t) * 257);
+  int32_t *regE = (int32_t *)malloc(sizeof(int32_t) * 257);
+  /* endB[c0<<8|c1] = end (exclusive) of B(c0,c1); startBs similar */
+  int32_t *endB = cntB;     /* rewritten in place */
+  int32_t *startBs = (int32_t *)malloc(sizeof(int32_t) * 65536);
+  if (!SA || !kA || !kB || !regS || !regE || !startBs) {
+    free(SA); free(kA); free(kB); free(regS); free(regE);
+    free(startBs); free(cntA); free(cntB); free(cntBs);
+    free(PB); free(SB); free(RK);
+    return -8;
+  }
+  {
+    /* recover per-bucket B* counts from the cumulative cursor array */
+    int32_t off = 0;
+    for (int c0 = 0; c0 < 256; c0++) {
+      kA[c0] = off;                       /* A(c0) start */
+      off += cntA[c0];
+      regS[c0] = off;                     /* region: B part of c0 */
+      {  /* B(c0,c0) (no B* possible there) */
+        int32_t b = (c0 << 8) | c0;
+        off += endB[b]; endB[b] = off;
+      }
+      for (int c1 = c0 + 1; c1 < 256; c1++) {
+        int32_t b = (c0 << 8) | c1;
+        int32_t prevBs = (b == 0) ? 0 : cntBs[b - 1];
+        int32_t nBs = cntBs[b] - prevBs;
+        startBs[b] = off;
+        off += nBs;
+        off += endB[b]; endB[b] = off;
+      }
+      regE[c0] = off;
+    }
+    /* (off == n) */
+  }
+
+  /* place sorted B* suffixes; emit their BWT bytes.
+   * positive value = B-duty (predecessor is type B);
+   * ~value = A-duty (predecessor is type A, or suffix 0). */
+  {
+    int32_t r = 0;  /* global sorted B* cursor */
+    for (int32_t b = 0; b < 65536 && r < m; b++) {
+      int32_t prevBs = (b == 0) ? 0 : cntBs[b - 1];
+      int32_t nBs = cntBs[b] - prevBs;
+      if (nBs == 0) continue;
+      int32_t slot = startBs[b];
+      for (int32_t x = 0; x < nBs; x++, r++, slot++) {
+        int32_t p = PB[SB[r]];
+        bwt_out[slot] = (p > 0) ? R[p - 1] : R[n - 1];
+        if (p > 0 && R[p - 1] <= R[p]) SA[slot] = p;
+        else SA[slot] = ~p;
+      }
+    }
+  }
+
+  ITBT(4)  /* layout + B* place */
+  long want_slot = -1;
+
+  /* B-induce: regions by first char, descending; scan right to left */
+  for (int c = 255; c >= 0; c--) {
+    int32_t lo = regS[c], hi = regE[c];
+    if (hi <= lo) continue;
+    for (int c0 = 0; c0 <= c; c0++) kB[c0] = endB[(c0 << 8) | c];
+    for (int32_t j = hi - 1; j >= lo; j--) {
+      if (j - 16 >= lo) {
+        int32_t vp = SA[j - 16];
+        if (vp < 0) vp = ~vp;
+        if ((uint32_t)vp < (uint32_t)n) __builtin_prefetch(&R[vp]);
+      }
+      int32_t v = SA[j];
+      if (v < 0) { SA[j] = ~v; continue; }   /* A-duty: leave for A-scan */
+      int32_t t = v - 1;                      /* v > 0 here (0 is ~0) */
+      int32_t slot = --kB[R[t]];
+      bwt_out[slot] = (t > 0) ? R[t - 1] : R[n - 1];
+      if (t > 0 && R[t - 1] <= R[t]) SA[slot] = t;
+      else SA[slot] = ~t;
+      SA[j] = ~v;                             /* done; A-scan skips */
+    }
+  }
+
+  ITBT(5)  /* B-induce */
+  /* A-induce: seed suffix n-1, then scan the whole array ascending */
+  {
+    int32_t t = n - 1;
+    int32_t slot = kA[R[t]]++;
+    bwt_out[slot] = R[t - 1];
+    SA[slot] = (R[t - 1] >= R[t]) ? t : ~t;
+    if (want == t) want_slot = slot;
+  }
+  for (int32_t i = 0; i < n; i++) {
+    if (i + 16 < n) {
+      int32_t vp = SA[i + 16];          /* may be an unplaced A slot:
+                                           bound-check before use */
+      if (vp < 0) vp = ~vp;
+      if ((uint32_t)vp < (uint32_t)n) __builtin_prefetch(&R[vp]);
+    }
+    int32_t v = SA[i];
+    if (v < 0) { SA[i] = ~v; if (want == ~v) want_slot = i; continue; }
+    if (want == v) want_slot = i;
+    if (v == 0) continue;                    /* defensive; 0 is ~0 */
+    int32_t t = v - 1;
+    if (R[t] < R[v]) continue;               /* predecessor is type B */
+    int32_t slot = kA[R[t]]++;
+    bwt_out[slot] = (t > 0) ? R[t - 1] : R[n - 1];
+    SA[slot] = (t > 0 && R[t - 1] >= R[t]) ? t : ~t;
+  }
+
+  ITBT(6)  /* A-induce */
+  free(SA); free(kA); free(kB); free(regS); free(regE); free(startBs);
+  free(cntA); free(cntB); free(cntBs); free(PB); free(SB); free(RK);
+  return want_slot;
+}

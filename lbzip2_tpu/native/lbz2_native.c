@@ -1225,6 +1225,7 @@ long lbz2_scan_magic(const uint8_t *data, long nbytes, uint64_t magic,
 }
 
 #include "entropy.c"
+#include "itbwt.c"
 #include "sais.c"
 
 /* Full block encode: BWT (SA-IS) + entropy, host-only path. */

@@ -15,6 +15,10 @@
 
 #include <stdlib.h>
 
+/* itbwt.c (two-stage B*-subset sorter; the production fast path) */
+long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
+             int32_t want);
+
 /* induced sort of suffix array for s[0..n-1] over alphabet K.
  * Instantiated twice (uint8_t level-0 input, int32_t recursion) via the
  * SAIS_TEMPLATE macro to halve level-0 memory traffic. */
@@ -231,11 +235,19 @@ long lbz2_bwt(const uint8_t *T, long n, uint8_t *bwt_out) {
     return idx;
   }
 
+  long i0 = (n - m) % n; /* R-rotation index of T-rotation 0 */
+
+  /* fast path: two-stage B*-subset sort (itbwt.c); ~1.6x the SA-IS
+   * below on text.  Falls back on no-B* inputs (non-increasing R,
+   * possible only for degenerate near-periodic blocks) and on
+   * allocation failure. */
+  long idx = itb_bwt(R, (int32_t)n, bwt_out, (int32_t)i0);
+  if (idx >= 0) { free(R); return idx; }
+
   int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
   if (!SA) { free(R); return -2; }
   sais_u8(R, SA, (int32_t)n, 256);
-  long i0 = (n - m) % n; /* R-rotation index of T-rotation 0 */
-  long idx = -1;
+  idx = -1;
   for (long r = 0; r < n; r++) {
     int32_t q = SA[r];
     if (q == i0) idx = r;
