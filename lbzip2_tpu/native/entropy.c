@@ -62,6 +62,58 @@ static long mtf_rle2_c(const uint8_t *bwt, long n, const uint8_t *cmap_used,
   return nm;
 }
 
+/* MTF + RLE2 straight from (byte, runlen) tokens — the device BWT's
+ * download format (ops/bwt2.py emit2).  A run of L equal bytes is one
+ * MTF rank followed by L-1 front hits, so the zero-run accounting
+ * works per token instead of per byte; adjacent tokens may repeat the
+ * same byte (runs split at 255), which just extends the pending run.
+ * Bit-identical to mtf_rle2_c over the expanded bytes. */
+static long mtf_rle2_tokens_c(const uint16_t *tok, long ntok,
+                              const uint8_t *cmap_used,
+                              uint16_t *mtfv_out) {
+  uint8_t cmap[256];
+  uint8_t order[256];
+  int ninuse = 0;
+  for (int i = 0; i < 256; i++) {
+    cmap[i] = (uint8_t)ninuse;
+    if (cmap_used[i]) ninuse++;
+  }
+  for (int i = 0; i < ninuse; i++) order[i] = (uint8_t)i;
+  long nm = 0;
+  long k = 0; /* pending zero-run (front hits) */
+  uint8_t u = 0;
+  for (long t = 0; t < ntok; t++) {
+    uint8_t c = cmap[tok[t] >> 8];
+    long len = tok[t] & 0xFF;
+    if (c == u) { k += len; continue; }
+    while (k) { k--; mtfv_out[nm++] = (uint16_t)(k & 1); k >>= 1; }
+    int r = 1;
+    uint8_t prev = order[0];
+    order[0] = c;
+    while (prev != c) {
+      uint8_t t2 = order[r];
+      order[r] = prev;
+      prev = t2;
+      r++;
+    }
+    mtfv_out[nm++] = (uint16_t)r;
+    u = c;
+    k += len - 1;
+  }
+  while (k) { k--; mtfv_out[nm++] = (uint16_t)(k & 1); k >>= 1; }
+  mtfv_out[nm++] = (uint16_t)(ninuse + 1); /* EOB */
+  return nm;
+}
+
+/* Full payload encode from run tokens (device-BWT fast path: skips
+ * materializing the 900k BWT byte row entirely). */
+long lbz2_encode_payload_from_tokens(const uint16_t *tok, long ntok,
+                                     const uint8_t *cmap_used,
+                                     long bwt_idx, uint32_t crc_stored,
+                                     int cluster_factor,
+                                     uint16_t *mtfv_scratch,
+                                     uint8_t *out);
+
 /* ---------------- initial equivalence classes ----------------
  *
  * Partition the MTF alphabet into nt contiguous classes of roughly
@@ -133,6 +185,18 @@ long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
                          uint32_t crc_stored, int cluster_factor,
                          uint16_t *mtfv_scratch, uint8_t *out) {
   long nm = mtf_rle2_c(bwt_bytes, n, cmap_used, mtfv_scratch);
+  return lbz2_encode_payload_from_mtfv(mtfv_scratch, nm, cmap_used,
+                                       bwt_idx, crc_stored,
+                                       cluster_factor, out);
+}
+
+long lbz2_encode_payload_from_tokens(const uint16_t *tok, long ntok,
+                                     const uint8_t *cmap_used,
+                                     long bwt_idx, uint32_t crc_stored,
+                                     int cluster_factor,
+                                     uint16_t *mtfv_scratch,
+                                     uint8_t *out) {
+  long nm = mtf_rle2_tokens_c(tok, ntok, cmap_used, mtfv_scratch);
   return lbz2_encode_payload_from_mtfv(mtfv_scratch, nm, cmap_used,
                                        bwt_idx, crc_stored,
                                        cluster_factor, out);

@@ -1018,7 +1018,15 @@ int lbz2_emit_done(const lbz2_emit_state *st, long n) {
  * re-decomposed for ILP. */
 
 /* Materialize the decode-order byte sequence (incl. derandomization).
- * ptr/pred: int32[n] scratch.  Returns 0 or -3 on a bad index. */
+ * ptr/pred: int32[n] scratch.  Returns 0 or -3 on a bad index.
+ *
+ * Four overlapped chains via pointer squaring: one gather pass builds
+ * ptr2 = ptr∘ptr (independent loads — pipelines at memory-level
+ * parallelism, unlike the chase), a second squares it to ptr4; four
+ * interleaved chains then each walk every 4th output position, so the
+ * serial miss chain is n/4 long instead of n/2 (the previous
+ * bidirectional form).  Output writes stay sequential (positions
+ * 4k..4k+3 per step). */
 long lbz2_ibwt_order(const uint8_t *bwt, long n, long idx,
                      int rand_flag, int32_t *ptr, int32_t *pred,
                      uint8_t *rle_out) {
@@ -1029,17 +1037,43 @@ long lbz2_ibwt_order(const uint8_t *bwt, long n, long idx,
   long base[256], cum = 0;
   for (int c = 0; c < 256; c++) { base[c] = cum; cum += cnt[c]; }
   for (long i = 0; i < n; i++) ptr[base[bwt[i]]++] = (int32_t)i;
-  for (long i = 0; i < n; i++) pred[ptr[i]] = (int32_t)i;
-  long h = n / 2;
-  long cur = ptr[idx], p = idx;
-  long k = 0, k2 = 0;
-  for (; k < h; k++, k2++) {
-    rle_out[k] = bwt[cur];
-    cur = ptr[cur];
-    rle_out[n - 1 - k2] = bwt[p];
-    p = pred[p];
+
+  if (n < 64) { /* tiny block: plain chase */
+    long cur = ptr[idx];
+    for (long k = 0; k < n; k++) { rle_out[k] = bwt[cur];
+                                   cur = ptr[cur]; }
+  } else {
+    int32_t *ptr2 = pred; /* pred table no longer used: reuse */
+    for (long i = 0; i + 8 < n; i++) {
+      __builtin_prefetch(&ptr[ptr[i + 8]]);
+      ptr2[i] = ptr[ptr[i]];
+    }
+    for (long i = n - 9 < 0 ? 0 : n - 9; i < n; i++)
+      ptr2[i] = ptr[ptr[i]];
+    /* chain heads: output positions 0,1,2,3 */
+    long c0 = ptr[idx];
+    long c1 = ptr[c0], c2 = ptr[c1], c3 = ptr[c2];
+    /* square again into ptr (reads only ptr2) */
+    for (long i = 0; i + 8 < n; i++) {
+      __builtin_prefetch(&ptr2[ptr2[i + 8]]);
+      ptr[i] = ptr2[ptr2[i]];
+    }
+    for (long i = n - 9 < 0 ? 0 : n - 9; i < n; i++)
+      ptr[i] = ptr2[ptr2[i]];
+    long q = n / 4;
+    for (long k = 0; k < q; k++) {
+      long b = 4 * k;
+      rle_out[b] = bwt[c0];     c0 = ptr[c0];
+      rle_out[b + 1] = bwt[c1]; c1 = ptr[c1];
+      rle_out[b + 2] = bwt[c2]; c2 = ptr[c2];
+      rle_out[b + 3] = bwt[c3]; c3 = ptr[c3];
+    }
+    long b = 4 * q;
+    if (b < n) { rle_out[b++] = bwt[c0]; }
+    if (b < n) { rle_out[b++] = bwt[c1]; }
+    if (b < n) { rle_out[b++] = bwt[c2]; }
   }
-  for (; k < n - k2; k++) { rle_out[k] = bwt[cur]; cur = ptr[cur]; }
+
   if (rand_flag) { /* toggle at the legacy derandomization positions */
     long ri = 0, rj = 617;
     while (rj < n) {

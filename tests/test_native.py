@@ -74,3 +74,33 @@ def test_production_decoder_corpus():
             with pytest.raises(StreamError) as ei:
                 decompress(raw)
             assert ei.value.code == code, f
+
+
+def test_encode_payload_from_tokens_matches_bytes():
+    """Token-direct entropy (device download format) is bit-identical
+    to the byte-row path."""
+    if not native.native_available():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(7)
+    for n in (1, 5, 1000, 90001):
+        # synthetic BWT-ish row with runs
+        vals = rng.integers(0, 5, n // 3 + 1)
+        reps = rng.integers(1, 9, n // 3 + 1)
+        row = np.repeat(vals, reps)[:n].astype(np.uint8) + 97
+        if row.size < n:
+            row = np.pad(row, (0, n - row.size), constant_values=97)
+        cmap = np.zeros(256, np.uint8)
+        cmap[np.unique(row)] = 1
+        # tokenize: run starts, split at 255
+        starts = [0]
+        for i in range(1, n):
+            if row[i] != row[i - 1] or i - starts[-1] >= 255:
+                starts.append(i)
+        toks = []
+        for s, e in zip(starts, starts[1:] + [n]):
+            toks.append((int(row[s]) << 8) | (e - s))
+        toks = np.array(toks, np.uint16)
+        a = native.encode_payload(row, cmap, 0, 0x1234, 8)
+        b = native.encode_payload_from_tokens(toks, cmap, 0, 0x1234, 8,
+                                              n_bytes=n)
+        assert a == b
