@@ -42,6 +42,25 @@ def _collect_blocks(buf: np.ndarray, mbs: int, granul: int | None):
     return [(s.start, s.end, s.data, s.cmap) for s in spans]
 
 
+def _window_worker(args) -> list[tuple[bytes, int]]:
+    """Collect + CRC + encode every block of one RLE1 window.
+
+    In parallel (non -u) mode windows are RLE1-independent (the
+    reference collects each in_granul buffer with a fresh collector,
+    src/compress.c:66-117), so the whole per-window pipeline runs
+    inside the worker and the main thread never serializes a collect
+    pass over the full input before encoding can start."""
+    window, mbs, cluster = args
+    out = []
+    for (a, b, blk, cmap) in native.rle1_collect(window, mbs, mbs):
+        crc_stored = (native.crc32_block(window[a:b]) ^ 0xFFFFFFFF) \
+            & 0xFFFFFFFF
+        out.append((native.encode_block(blk, cmap.astype(np.uint8),
+                                        crc_stored, cluster),
+                    crc_stored))
+    return out
+
+
 def compress_blocks(data: bytes | np.ndarray, level: int = 9,
                     n_workers: int | None = None,
                     sequential_split: bool = False,
@@ -54,6 +73,17 @@ def compress_blocks(data: bytes | np.ndarray, level: int = 9,
     mbs = level * 100000
     if n_workers is None:
         n_workers = os.cpu_count() or 1
+
+    if native.native_available() and not sequential_split and \
+            buf.size > mbs:
+        wins = [(buf[i:i + mbs], mbs, cluster_factor)
+                for i in range(0, buf.size, mbs)]
+        with ThreadPoolExecutor(max_workers=min(n_workers,
+                                                len(wins))) as pool:
+            per_win = list(pool.map(_window_worker, wins))
+        payloads = [p for w in per_win for (p, _) in w]
+        crcs = [c for w in per_win for (_, c) in w]
+        return payloads, crcs
 
     blocks = _collect_blocks(buf, mbs, None if sequential_split else mbs)
 
