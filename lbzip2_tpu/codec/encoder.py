@@ -59,8 +59,11 @@ _MID_CUTOFF = 262144  # blocks in (8192, _MID_CUTOFF] -> host engine
 # per-dispatch tunnel latency and keep the sort lanes full.
 _BATCH = int(os.environ.get("LBZ2_DEVICE_BATCH", "32"))
 
-# Batches kept in flight on the device queue simultaneously.
-_INFLIGHT = int(os.environ.get("LBZ2_DEVICE_INFLIGHT", "3"))
+# Batches kept in flight on the device queue simultaneously.  2, not
+# 3: each batch moves ~43 MB over a ~25 MB/s half-duplex tunnel, so a
+# third in-flight batch only queues wire time (measured 3-8 s of
+# extra expand latency per batch) and grows the claimed-block set.
+_INFLIGHT = int(os.environ.get("LBZ2_DEVICE_INFLIGHT", "2"))
 
 _DEVICE = os.environ.get("LBZ2_DEVICE", "1") != "0"
 

@@ -207,7 +207,7 @@ def retrieve_block(data: np.ndarray, nbits: int, bitpos: int):
     """Decode one block payload; returns (err, newpos, bwt, idx, rand)."""
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
-    out = np.empty(900000, np.uint8)
+    out = np.empty(900008, np.uint8)  # +8: broadcast-store slack
     pos = ctypes.c_long(bitpos)
     size = ctypes.c_long(0)
     idx = ctypes.c_long(0)

@@ -398,7 +398,15 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
         continue;
       }
       if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;
-      memset(out_bwt + size, run_char, run);
+      if (run <= 8) {
+        /* typical runs are 1-3 bytes: one unconditional 8-byte
+         * broadcast store beats a memset call.  Callers provision
+         * 8 bytes of slack past MAX_BLOCK_SIZE. */
+        uint64_t bc = (uint64_t)run_char * 0x0101010101010101ULL;
+        memcpy(out_bwt + size, &bc, 8);
+      } else {
+        memset(out_bwt + size, run_char, run);
+      }
       size += run;
       /* inverse MTF */
       {
