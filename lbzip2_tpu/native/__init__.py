@@ -76,6 +76,10 @@ def get_lib():
         lib.lbz2_encode_payload_from_mtfv.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p]
+        lib.lbz2_encode_payload_bytewise.restype = ctypes.c_long
+        lib.lbz2_encode_payload_bytewise.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         lib.lbz2_encode_payload_from_tokens.restype = ctypes.c_long
         lib.lbz2_encode_payload_from_tokens.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
@@ -231,6 +235,25 @@ def encode_payload(bwt_bytes: np.ndarray, cmap_bool: np.ndarray,
     mtfv = np.empty(900000 + 50 + 2, np.uint16)
     out = np.empty(len(bwt_bytes) + (len(bwt_bytes) >> 1) + 4096, np.uint8)
     ln = lib.lbz2_encode_payload(
+        bwt_bytes.ctypes.data_as(ctypes.c_void_p), bwt_bytes.size,
+        cmap.ctypes.data_as(ctypes.c_void_p), bwt_idx,
+        crc_stored & 0xFFFFFFFF, cluster_factor,
+        mtfv.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    assert ln > 0
+    return out[:ln].tobytes()
+
+
+def encode_payload_bytewise(bwt_bytes: np.ndarray, cmap_bool: np.ndarray,
+                            bwt_idx: int, crc_stored: int,
+                            cluster_factor: int = 8) -> bytes:
+    """Byte-loop MTF variant (differential oracle for the token MTF)."""
+    lib = get_lib()
+    bwt_bytes = np.ascontiguousarray(bwt_bytes, dtype=np.uint8)
+    cmap = np.ascontiguousarray(cmap_bool, dtype=np.uint8)
+    mtfv = np.empty(900000 + 50 + 2, np.uint16)
+    out = np.empty(len(bwt_bytes) + (len(bwt_bytes) >> 1) + 4096, np.uint8)
+    ln = lib.lbz2_encode_payload_bytewise(
         bwt_bytes.ctypes.data_as(ctypes.c_void_p), bwt_bytes.size,
         cmap.ctypes.data_as(ctypes.c_void_p), bwt_idx,
         crc_stored & 0xFFFFFFFF, cluster_factor,

@@ -100,7 +100,9 @@ def test_encode_payload_from_tokens_matches_bytes():
         for s, e in zip(starts, starts[1:] + [n]):
             toks.append((int(row[s]) << 8) | (e - s))
         toks = np.array(toks, np.uint16)
-        a = native.encode_payload(row, cmap, 0, 0x1234, 8)
+        a = native.encode_payload_bytewise(row, cmap, 0, 0x1234, 8)
+        a2 = native.encode_payload(row, cmap, 0, 0x1234, 8)
+        assert a == a2
         b = native.encode_payload_from_tokens(toks, cmap, 0, 0x1234, 8,
                                               n_bytes=n)
         assert a == b
