@@ -658,7 +658,7 @@ def warm_device(rows=(_BATCH,), bucket: int = _BUCKETS[-1]) -> float:
     t0 = time.time()
     for r in sorted(set(rows)):
         batch = np.zeros((r, bucket), np.uint8)
-        batch[:, 0] = 1  # primitive rows (Lyndon: R[0] < rest)
+        batch[:, -1] = 1  # genuine Lyndon rows: R = 0^(n-1) 1, least rotation
         ns = np.full(r, 4, np.int32)
         ms = np.zeros(r, np.int32)
         fn = bwt2_bytes if _DEVICE_CHAIN else bwt2_tokens

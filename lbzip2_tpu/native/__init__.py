@@ -87,6 +87,14 @@ def get_lib():
         lib.lbz2_bwt.restype = ctypes.c_long
         lib.lbz2_bwt.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.itb_bwt.restype = ctypes.c_long
+        lib.itb_bwt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32]
+        lib.lbz2_bwt_sais_rot.restype = ctypes.c_long
+        lib.lbz2_bwt_sais_rot.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_long]
         lib.lbz2_ibwt_links.restype = ctypes.c_long
         lib.lbz2_ibwt_links.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p]
@@ -313,6 +321,31 @@ def bwt(block: np.ndarray) -> tuple[np.ndarray, int]:
     idx = lib.lbz2_bwt(block.ctypes.data_as(ctypes.c_void_p), block.size,
                        out.ctypes.data_as(ctypes.c_void_p))
     assert idx >= 0
+    return out, int(idx)
+
+
+def itb_bwt_rot(R: np.ndarray, want: int = -1) -> tuple[np.ndarray, int]:
+    """Two-stage B*-subset BWT over a least rotation R (differential
+    test entry; -9 sentinel raises on no-B* inputs)."""
+    lib = get_lib()
+    R = np.ascontiguousarray(R, dtype=np.uint8)
+    out = np.empty(R.size, np.uint8)
+    idx = lib.itb_bwt(R.ctypes.data_as(ctypes.c_void_p), R.size,
+                      out.ctypes.data_as(ctypes.c_void_p), want)
+    if idx == -9:
+        raise ValueError("no B* suffix")
+    assert idx >= -1
+    return out, int(idx)
+
+
+def bwt_sais_rot(R: np.ndarray, want: int = -1) -> tuple[np.ndarray, int]:
+    """SA-IS BWT over a least rotation R (differential oracle)."""
+    lib = get_lib()
+    R = np.ascontiguousarray(R, dtype=np.uint8)
+    out = np.empty(R.size, np.uint8)
+    idx = lib.lbz2_bwt_sais_rot(R.ctypes.data_as(ctypes.c_void_p), R.size,
+                                out.ctypes.data_as(ctypes.c_void_p), want)
+    assert idx >= -1
     return out, int(idx)
 
 

@@ -188,7 +188,10 @@ long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
                          const uint8_t *cmap_used, long bwt_idx,
                          uint32_t crc_stored, int cluster_factor,
                          uint16_t *mtfv_scratch, uint8_t *out) {
-  static __thread uint16_t tok[MAX_BLOCK_SIZE + 1];
+  /* heap scratch, not __thread static: a permanent ~1.8 MB/thread
+   * buffer would pin RSS for every worker that ever encoded */
+  uint16_t *tok = (uint16_t *)malloc(sizeof(uint16_t) * (size_t)(n + 1));
+  if (!tok) return -1;
   long nt = 0, i = 0;
   while (i < n) {
     uint8_t c = bwt_bytes[i];
@@ -199,6 +202,7 @@ long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
     i = j;
   }
   long nm = mtf_rle2_tokens_c(tok, nt, cmap_used, mtfv_scratch);
+  free(tok);
   return lbz2_encode_payload_from_mtfv(mtfv_scratch, nm, cmap_used,
                                        bwt_idx, crc_stored,
                                        cluster_factor, out);

@@ -76,11 +76,50 @@ static int itb_cmp(const itb_ctx *c, int32_t a, int32_t b, int32_t d) {
   return 0;
 }
 
+/* heapsort of B*-indices a[0..nn) by full substring compare from
+ * depth d — the bounded-stack fallback for itb_mkqsort.  O(k log k)
+ * compares, no extra memory, no recursion. */
+static void itb_heapsort(const itb_ctx *c, int32_t *a, int32_t nn,
+                         int32_t d) {
+  for (int32_t start = nn / 2 - 1; start >= 0; start--) {
+    int32_t root = start;
+    int32_t v = a[root];
+    for (;;) {
+      int32_t ch = 2 * root + 1;
+      if (ch >= nn) break;
+      if (ch + 1 < nn && itb_cmp(c, a[ch], a[ch + 1], d) < 0) ch++;
+      if (itb_cmp(c, v, a[ch], d) >= 0) break;
+      a[root] = a[ch]; root = ch;
+    }
+    a[root] = v;
+  }
+  for (int32_t end = nn - 1; end > 0; end--) {
+    int32_t v = a[end];
+    a[end] = a[0];
+    int32_t root = 0;
+    for (;;) {
+      int32_t ch = 2 * root + 1;
+      if (ch >= end) break;
+      if (ch + 1 < end && itb_cmp(c, a[ch], a[ch + 1], d) < 0) ch++;
+      if (itb_cmp(c, v, a[ch], d) >= 0) break;
+      a[root] = a[ch]; root = ch;
+    }
+    a[root] = v;
+  }
+}
+
 /* ternary-split multikey quicksort of B*-indices A[0..cnt) from depth
- * d (explicit stack; insertion sort for small runs). */
+ * d (explicit bounded stack; insertion sort for small runs; heapsort
+ * fallback when the stack nears capacity — the partition chain can
+ * push 2 entries per depth level without popping on inputs whose
+ * substrings share long common prefixes with sparse paired
+ * deviations, so depth is NOT logarithmic in the worst case). */
+#ifndef ITB_STK       /* overridable so tests can force the spill path */
+#define ITB_STK 256
+#endif
 static void itb_mkqsort(const itb_ctx *c, int32_t *A, int32_t cnt,
                         int32_t d0) {
-  struct { int32_t *a; int32_t cnt, d; } stk[64];
+  struct { int32_t *a; int32_t cnt, d; } stk[ITB_STK];
   int sp = 0;
   stk[sp].a = A; stk[sp].cnt = cnt; stk[sp].d = d0; sp++;
   while (sp > 0) {
@@ -116,8 +155,8 @@ static void itb_mkqsort(const itb_ctx *c, int32_t *A, int32_t cnt,
         else i++;
       }
       /* [0,lo) < kp; [lo,hi) == kp; [hi,nn) > kp.  Loop on the
-       * largest of the three (stack depth stays logarithmic even
-       * for very deep common prefixes); push the other two. */
+       * largest of the three; push the other two (bounded: spill to
+       * heapsort when the stack is nearly full). */
       int32_t sl = lo, sg = nn - hi;
       int32_t se = ((kp >= 0) && (hi - lo > 1)) ? hi - lo : 0;
       int32_t *pa[3] = { a, a + lo, a + hi };
@@ -128,6 +167,10 @@ static void itb_mkqsort(const itb_ctx *c, int32_t *A, int32_t cnt,
       if (pc[2] > pc[big]) big = 2;
       for (int q = 0; q < 3; q++) {
         if (q == big || pc[q] <= 1) continue;
+        if (sp >= ITB_STK - 2) {            /* bounded: sort in place */
+          itb_heapsort(c, pa[q], pc[q], pd[q]);
+          continue;
+        }
         stk[sp].a = pa[q]; stk[sp].cnt = pc[q]; stk[sp].d = pd[q];
         sp++;
       }

@@ -192,6 +192,26 @@ long lbz2_lyndon_prep(const uint8_t *T, long n, uint8_t *R) {
   return is_periodic(R, n) ? -1 : m;
 }
 
+/* SA-IS BWT over an already-least-rotated R (test/differential entry:
+ * same contract as itb_bwt — emit rotation-BWT bytes, return the slot
+ * of suffix `want`). */
+long lbz2_bwt_sais_rot(const uint8_t *R, long n, uint8_t *bwt_out,
+                       long want) {
+  if (n <= 0) return -1;
+  if (n == 1) { bwt_out[0] = R[0]; return 0; }
+  int32_t *SA = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+  if (!SA) return -2;
+  sais_u8(R, SA, (int32_t)n, 256);
+  long idx = -1;
+  for (long r = 0; r < n; r++) {
+    int32_t q = SA[r];
+    if (q == want) idx = r;
+    bwt_out[r] = R[q == 0 ? n - 1 : q - 1];
+  }
+  free(SA);
+  return idx;
+}
+
 /* Rotation-sort BWT of T[0..n): returns primary index, fills bwt_out.
  *
  * Fast path: rotate T to its least rotation R (a Lyndon word when T is

@@ -106,3 +106,81 @@ def test_encode_payload_from_tokens_matches_bytes():
         b = native.encode_payload_from_tokens(toks, cmap, 0, 0x1234, 8,
                                               n_bytes=n)
         assert a == b
+
+
+# ---- itb_bwt differential + adversarial coverage (round-4) ----------
+
+
+def _itb_cases():
+    """Randomized + adversarial inputs for the two-stage B*-subset
+    sorter: random, periodic-ish, ramps, near-periodic, and the
+    deep-common-prefix paired-deviation pattern that overflowed the
+    old fixed-depth mkqsort stack (memory corruption regression)."""
+    rng = np.random.default_rng(42)
+    cases = []
+    # random over several alphabet widths/sizes
+    for n, hi in ((3, 3), (64, 2), (1000, 4), (20000, 256), (90000, 16)):
+        cases.append(rng.integers(0, hi, n).astype(np.uint8))
+    # text-like
+    cases.append(np.frombuffer(
+        (b"the quick brown fox jumps over the lazy dog. " * 2000), np.uint8))
+    # near-periodic (periodic with sparse breaks)
+    p = np.tile(np.frombuffer(b"abcabd", np.uint8), 15000).copy()
+    p[::7919] = ord("z")
+    cases.append(p)
+    # long ascending ramps (many long identical B* substrings)
+    ramp = np.arange(1, 201, dtype=np.uint8)
+    cases.append(np.tile(ramp, 1200).copy())
+    # paired per-depth deviations: copies of a long ramp where, for
+    # each depth d, exactly TWO copies carry a deviant byte at offset
+    # d.  The old bounded-64 stack segfaulted on this class (advisor
+    # round-3 finding): each depth level pushes a 2-element partition
+    # without popping, so stack depth grows linearly with the common
+    # prefix length.
+    L, D = 400, 320
+    ncopy = 2 * D + 40
+    ramp = (np.arange(L) % 250 + 1).astype(np.uint8)
+    body = np.tile(ramp, ncopy).reshape(ncopy, L).copy()
+    for i in range(D):
+        body[2 * i, 8 + i] = 255
+        body[2 * i + 1, 8 + i] = 255
+    cases.append(body.reshape(-1).copy())
+    return cases
+
+
+def test_itb_bwt_differential_vs_sais():
+    if not native.native_available():
+        pytest.skip("no native lib")
+    for k, T in enumerate(_itb_cases()):
+        R = np.empty(T.size, np.uint8)
+        m = native.get_lib().lbz2_lyndon_prep(
+            T.ctypes.data_as(__import__("ctypes").c_void_p), T.size,
+            R.ctypes.data_as(__import__("ctypes").c_void_p))
+        if m < 0:
+            continue  # fully periodic: itb path not used
+        want = (T.size - m) % T.size
+        exp_bwt, exp_idx = native.bwt_sais_rot(R, want)
+        try:
+            got_bwt, got_idx = native.itb_bwt_rot(R, want)
+        except ValueError:
+            continue  # no B* suffix: production falls back to SA-IS
+        assert got_idx == exp_idx, f"case {k}: idx"
+        assert np.array_equal(got_bwt, exp_bwt), f"case {k}: bwt"
+
+
+def test_itb_bwt_deep_stack_roundtrip():
+    """End-to-end compress of the paired-deviation pattern through the
+    production path (the old code segfaulted here)."""
+    if not native.native_available():
+        pytest.skip("no native lib")
+    from lbzip2_tpu.parallel.encode import compress_parallel
+    L, D = 400, 320
+    ncopy = 2 * D + 40
+    ramp = (np.arange(L) % 250 + 1).astype(np.uint8)
+    body = np.tile(ramp, ncopy).reshape(ncopy, L).copy()
+    for i in range(D):
+        body[2 * i, 8 + i] = 255
+        body[2 * i + 1, 8 + i] = 255
+    data = body.reshape(-1).tobytes()
+    out = compress_parallel(data, level=9, n_workers=2)
+    assert bz2.decompress(out) == data
