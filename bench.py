@@ -248,18 +248,30 @@ def main():
     else:
         metric, mbps = "compress_MBps_host_fallback_level9", host_mbps
 
-    print(json.dumps({
+    # Telemetry goes to a SIDE FILE; the printed headline line must stay
+    # small and scalar-only — round 3's metric was truncated out of the
+    # driver's 2000-char tail capture by inline batch_trace telemetry.
+    try:
+        with open("bench_telemetry.json", "w") as fh:
+            json.dump({"device_stats": dev_stats,
+                       "level_parity": parity}, fh, indent=1)
+    except OSError:
+        pass
+    parity_ok = (parity is not None and
+                 all(v["identical"] for v in parity.values()))
+    line = json.dumps({
         "metric": metric,
         "value": round(mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(mbps / PER_CHIP_TARGET_MBPS, 4),
         "host_MBps": round(host_mbps, 2),
         "device_MBps": round(dev_mbps, 2) if dev_mbps else None,
-        "device_stats": dev_stats,
         "decompress_MBps": round(dec_mbps, 2),
-        "level_parity": parity,
+        "bit_identical_1_5_9": parity_ok,
         "reference_binary_same_box": ref,
-    }), flush=True)
+    })
+    assert len(line) < 500, f"headline line too long ({len(line)}B)"
+    print(line, flush=True)
     # A device thread blocked inside a wedged tunnel RPC aborts the
     # C++ runtime during interpreter teardown; the measurement above is
     # complete and printed, so skip teardown entirely.
