@@ -19,6 +19,17 @@
 #define MAX_ALPHA 258
 #define EM_MAX_GROUPS ((MAX_BLOCK_SIZE + GROUP_SIZE - 1) / GROUP_SIZE + 1)
 
+#ifdef ENT_PROF  /* opt-in substage timing, same scheme as ITB_PROF */
+#include <time.h>
+double ENTP[8];
+static double entp_now(void){struct timespec ts;clock_gettime(CLOCK_MONOTONIC,&ts);return ts.tv_sec+1e-9*ts.tv_nsec;}
+#define ENT_T0 double _ent_t0 = entp_now();
+#define ENTT(k) ENTP[k] += entp_now() - _ent_t0; _ent_t0 = entp_now();
+#else
+#define ENT_T0
+#define ENTT(k)
+#endif
+
 #include "huffman2.c"
 
 /* ---------------- MTF + RLE2 ---------------- */
@@ -72,13 +83,16 @@ static long mtf_rle2_tokens_c(const uint16_t *tok, long ntok,
                               const uint8_t *cmap_used,
                               uint16_t *mtfv_out) {
   uint8_t cmap[256];
-  uint8_t order[256];
+  union { uint8_t b[264]; uint64_t w[33]; } order;
   int ninuse = 0;
   for (int i = 0; i < 256; i++) {
     cmap[i] = (uint8_t)ninuse;
     if (cmap_used[i]) ninuse++;
   }
-  for (int i = 0; i < ninuse; i++) order[i] = (uint8_t)i;
+  /* bytes >= ninuse are never a hit (the scan always terminates at c,
+   * which lives below ninuse) but must be defined for the word reads */
+  memset(order.b, 0xFF, sizeof(order.b));
+  for (int i = 0; i < ninuse; i++) order.b[i] = (uint8_t)i;
   long nm = 0;
   long k = 0; /* pending zero-run (front hits) */
   uint8_t u = 0;
@@ -87,16 +101,32 @@ static long mtf_rle2_tokens_c(const uint16_t *tok, long ntok,
     long len = tok[t] & 0xFF;
     if (c == u) { k += len; continue; }
     while (k) { k--; mtfv_out[nm++] = (uint16_t)(k & 1); k >>= 1; }
-    int r = 1;
-    uint8_t prev = order[0];
-    order[0] = c;
-    while (prev != c) {
-      uint8_t t2 = order[r];
-      order[r] = prev;
-      prev = t2;
-      r++;
+    /* rank of c: SWAR zero-byte scan over 8-byte words of the MTF
+     * list, then one memmove shift — ~r/8 word steps instead of the
+     * r-step byte-at-a-time chain (r-1 = rank; the list always
+     * contains c so the scan terminates) */
+    uint64_t pat = (uint64_t)c * 0x0101010101010101ULL;
+    int wi = 0;
+    uint64_t x;
+    for (;;) {
+      x = order.w[wi] ^ pat;
+      uint64_t zf = (x - 0x0101010101010101ULL) & ~x &
+                    0x8080808080808080ULL;
+      if (zf) { x = zf; break; }
+      wi++;
     }
-    mtfv_out[nm++] = (uint16_t)r;
+    int rb = __builtin_ctzll(x) >> 3;
+    int r = wi * 8 + rb;                          /* position of c */
+    if (wi == 0) {
+      /* common case: shift happens inside word 0, no memmove */
+      uint64_t w0 = order.w[0];
+      uint64_t low = (r == 7) ? ~0ULL : ((1ULL << (8 * (r + 1))) - 1);
+      order.w[0] = (w0 & ~low) | (((w0 << 8) | c) & low);
+    } else {
+      memmove(order.b + 1, order.b, (size_t)r);
+      order.b[0] = c;
+    }
+    mtfv_out[nm++] = (uint16_t)(r + 1);
     u = c;
     k += len - 1;
   }
@@ -190,6 +220,7 @@ long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
                          uint16_t *mtfv_scratch, uint8_t *out) {
   /* heap scratch, not __thread static: a permanent ~1.8 MB/thread
    * buffer would pin RSS for every worker that ever encoded */
+  ENT_T0
   uint16_t *tok = (uint16_t *)malloc(sizeof(uint16_t) * (size_t)(n + 1));
   if (!tok) return -1;
   long nt = 0, i = 0;
@@ -201,7 +232,9 @@ long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
     tok[nt++] = (uint16_t)(((uint16_t)c << 8) | (j - i));
     i = j;
   }
+  ENTT(0)
   long nm = mtf_rle2_tokens_c(tok, nt, cmap_used, mtfv_scratch);
+  ENTT(1)
   free(tok);
   return lbz2_encode_payload_from_mtfv(mtfv_scratch, nm, cmap_used,
                                        bwt_idx, crc_stored,
@@ -238,6 +271,7 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
                                    const uint8_t *cmap_used, long bwt_idx,
                                    uint32_t crc_stored, int cluster_factor,
                                    uint8_t *out) {
+  ENT_T0
   int as = (int)mtfv[nm - 1] + 1;
   long ns = (nm + GROUP_SIZE - 1) / GROUP_SIZE;
   int nt = nm > 2400 ? 6 : nm > 1200 ? 5 : nm > 600 ? 4 :
@@ -258,6 +292,7 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
   memset(lengths, 1, sizeof(lengths));
 
   initial_classes(lengths, mtf_freq, as, nm, nt);
+  ENTT(2)
 
   /* EM iterations.  E-step: per-group TRUE bit costs per tree from a
    * symbol-major length table of two uint64 words with 16-bit lanes
@@ -294,12 +329,19 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
     uint8_t *sp = selectors;
     for (long g = 0; g < ns; g++) {
       const uint16_t *gs = mtfv + g * GROUP_SIZE;
-      uint64_t a0 = 0, a1 = 0;
-      for (int i = 0; i < GROUP_SIZE; i++) {
+      /* two independent accumulator pairs halve the add-chain depth
+       * (lane sums stay carry-free: <= 50*255 < 2^16 per lane) */
+      uint64_t a0 = 0, a1 = 0, b0 = 0, b1 = 0;
+      for (int i = 0; i < GROUP_SIZE; i += 2) {
         const uint64_t *lp = lenP[gs[i]];
+        const uint64_t *lq = lenP[gs[i + 1]];
         a0 += lp[0];
         a1 += lp[1];
+        b0 += lq[0];
+        b1 += lq[1];
       }
+      a0 += b0;
+      a1 += b1;
       uint16_t acc[8] = {
         (uint16_t)a0, (uint16_t)(a0 >> 16), (uint16_t)(a0 >> 32),
         (uint16_t)(a0 >> 48), (uint16_t)a1, (uint16_t)(a1 >> 16),
@@ -316,14 +358,17 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
       *sp++ = (uint8_t)bt;
       for (int i = 0; i < GROUP_SIZE; i++) freqs[bt][gs[i]]++;
     }
+    ENTT(3)
     for (int t = 0; t < nt; t++)
       make_code_lengths2(lengths[t], freqs[t], as);
+    ENTT(4)
     if (iter > 0 && memcmp(selectors, prev_sel, (size_t)ns) == 0)
       break;  /* fixed point reached */
     if (iter < cluster_factor - 1)
       memcpy(prev_sel, selectors, (size_t)ns);
   }
 
+  ENTT(4)
   /* reorder trees by first use; assign final codes */
   int tmap_old2new[MAX_TREES], tmap_new2old[MAX_TREES];
   uint32_t cost = 0;
@@ -383,6 +428,7 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
   long num_selectors = ns;
   if (pad & 1) { smtf[n_smtf++] = 0; num_selectors++; }
 
+  ENTT(5)
   /* transmit */
   bw_t w = {0, 0, out, 0};
   bw_put(&w, 0x314159u, 24);
@@ -422,6 +468,7 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
       bw_put(&w, 0, 1);
     }
   }
+  ENTT(6)
   for (long g = 0; g < ns; g++) {
     int t = selectors[g];
     const uint32_t *C = codes_tab[t];
@@ -432,6 +479,7 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
       bw_put(&w, C[mv], B[mv]);
     }
   }
+  ENTT(7)
   /* stream is byte-aligned by construction */
   return w.pos;
 }
@@ -483,7 +531,7 @@ long lbz2_chain_finish(const uint8_t *selectors, const int32_t *ngroups,
     uint32_t (*codes_tab)[MAX_ALPHA + 1] =
         (uint32_t (*)[MAX_ALPHA + 1])(codes_out + b * S);
 
-    /* reorder trees by first use; assign final codes */
+  /* reorder trees by first use; assign final codes */
     int tmap_old2new[MAX_TREES], tmap_new2old[MAX_TREES];
     uint32_t cost = 0;
     unsigned not_seen = (1u << nt) - 1;
