@@ -87,6 +87,13 @@ def get_lib():
         lib.lbz2_bwt.restype = ctypes.c_long
         lib.lbz2_bwt.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.lbz2_encode_window.restype = ctypes.c_long
+        lib.lbz2_encode_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
         lib.itb_bwt.restype = ctypes.c_long
         lib.itb_bwt.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
@@ -426,6 +433,65 @@ def lyndon_prep(block: np.ndarray, out: np.ndarray | None = None
                              block.size,
                              out.ctypes.data_as(ctypes.c_void_p))
     return out, int(m)
+
+
+class _EncArena(threading.local):
+    """Per-thread reusable scratch for encode_window (the analogue of
+    the reference's persistent per-worker encoder arena,
+    src/encode.c:109-132): ~8 MB/worker at -9, allocated lazily on
+    each worker thread's first window and reused for its lifetime."""
+
+    def ensure(self, wn: int, mbs: int):
+        need_blk = wn + (wn >> 2) + 64
+        if getattr(self, "blk", None) is None or self.blk.size < need_blk \
+                or self.R.size < mbs + 16:
+            self.blk = np.empty(need_blk, np.uint8)
+            self.R = np.empty(mbs + 16, np.uint8)
+            self.bwt = np.empty(mbs + 16, np.uint8)
+            self.mtfv = np.empty(mbs + 64, np.uint16)
+            self.out = np.empty(wn + (wn >> 1) + 16384, np.uint8)
+            self.starts = np.empty(512, np.int64)
+            self.ends = np.empty(512, np.int64)
+            self.pay_lens = np.empty(512, np.int64)
+            self.crcs = np.empty(512, np.uint32)
+
+
+_enc_arena = _EncArena()
+
+
+def encode_window(window: np.ndarray, mbs: int,
+                  cluster_factor: int = 8
+                  ) -> tuple[list[bytes], list[int], list[int], list[int]]:
+    """Fused collect+CRC+BWT+entropy of one RLE1 window in one C call.
+
+    Returns (payloads, starts, ends, crcs) for the window's blocks.
+    """
+    lib = get_lib()
+    window = np.ascontiguousarray(window, dtype=np.uint8)
+    wn = window.size
+    a = _enc_arena
+    a.ensure(wn, mbs)
+    nb = lib.lbz2_encode_window(
+        window.ctypes.data_as(ctypes.c_void_p), wn, mbs, cluster_factor,
+        a.blk.ctypes.data_as(ctypes.c_void_p), a.blk.size,
+        a.R.ctypes.data_as(ctypes.c_void_p),
+        a.bwt.ctypes.data_as(ctypes.c_void_p),
+        a.mtfv.ctypes.data_as(ctypes.c_void_p),
+        a.out.ctypes.data_as(ctypes.c_void_p), a.out.size,
+        a.starts.ctypes.data_as(ctypes.c_void_p),
+        a.ends.ctypes.data_as(ctypes.c_void_p),
+        a.pay_lens.ctypes.data_as(ctypes.c_void_p),
+        a.crcs.ctypes.data_as(ctypes.c_void_p), 512)
+    assert nb >= 0, f"encode_window failed: {nb}"
+    pays = []
+    pos = 0
+    for i in range(nb):
+        ln = int(a.pay_lens[i])
+        pays.append(a.out[pos:pos + ln].tobytes())
+        pos += ln
+    return (pays, [int(x) for x in a.starts[:nb]],
+            [int(x) for x in a.ends[:nb]],
+            [int(x) for x in a.crcs[:nb]])
 
 
 def encode_block(block: np.ndarray, cmap_bool: np.ndarray,

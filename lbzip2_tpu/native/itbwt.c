@@ -182,17 +182,20 @@ static void itb_mkqsort(const itb_ctx *c, int32_t *A, int32_t cnt,
 
 /* ---- Larsson–Sadakane doubling over the reduced rank sequence ------- */
 
-/* quicksort of packed (key << 20 | value) words, ascending; values
- * occupy the low 20 bits so key order dominates */
+/* quicksort of packed (key << 19 | value) words, ascending; values
+ * occupy the low 19 bits so key order dominates (19 value bits are
+ * enough: m <= n/2 <= 450000 < 2^19; 19 also leaves exactly 45 high
+ * bits for stage 1's five 9-bit symbol lanes — 45+20 would overflow
+ * the u64 and drop the top bit of the depth-2 symbol for 0xFF) */
 static void itb_u64sort(uint64_t *a, int32_t lo, int32_t hi) {
   while (hi - lo > 10) {
     uint64_t x = a[lo], y = a[(lo + hi) / 2], z = a[hi];
     uint64_t kp = x < y ? (y < z ? y : (x < z ? z : x))
                         : (x < z ? x : (y < z ? z : y));
-    kp >>= 20;
+    kp >>= 19;
     int32_t i = lo, j = hi, k = lo;
     while (k <= j) {
-      uint64_t v = a[k] >> 20;
+      uint64_t v = a[k] >> 19;
       if (v < kp) { uint64_t t = a[i]; a[i] = a[k]; a[k] = t;
                     i++; k++; }
       else if (v > kp) { uint64_t t = a[j]; a[j] = a[k]; a[k] = t;
@@ -205,7 +208,7 @@ static void itb_u64sort(uint64_t *a, int32_t lo, int32_t hi) {
   for (int32_t i = lo + 1; i <= hi; i++) {
     uint64_t v = a[i];
     int32_t j = i;
-    while (j > lo && (a[j - 1] >> 20) > (v >> 20)) {
+    while (j > lo && (a[j - 1] >> 19) > (v >> 19)) {
       a[j] = a[j - 1]; j--;
     }
     a[j] = v;
@@ -255,8 +258,13 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       c1 = c0;
     }
   }
-  if (m == 0) { free(cntA); free(cntB); free(cntBs); free(PB);
-                return -9; }
+  if (m == 0 || m > 0x7FFFF) {
+    /* no B* suffix, or too many for the 19-bit value lanes (cannot
+     * happen for bzip2 blocks: B* positions are non-adjacent, so
+     * m <= n/2 <= 450000 < 2^19) — caller falls back to SA-IS */
+    free(cntA); free(cntB); free(cntBs); free(PB);
+    return -9;
+  }
   /* PB was collected right-to-left: reverse to ascending */
   for (int32_t i = 0, j = m - 1; i < j; i++, j--) {
     int32_t t = PB[i]; PB[i] = PB[j]; PB[j] = t;
@@ -281,68 +289,61 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
   ITBT(0)  /* classify + bucket sums */
   itb_ctx C = { R, PB, m, n };
 
-  /* Global substring sort, stage 1: LSD radix over a packed 63-bit
-   * key of the first 7 substring symbols, 9 bits each (byte value + 1;
-   * 0 = past-end, which sorts first, matching the first-exhausted-is-
-   * smaller substring order).  Average B* substring length is ~3.5+2,
-   * so 7 symbols fully resolve the overwhelming majority; groups still
-   * tied on the key finish with multikey quicksort at depth 7. */
+  /* Global substring sort, stage 1: one scatter by the first two
+   * symbols (their joint distribution is exactly the cntBs histogram
+   * already computed during classification), then per-bucket in-cache
+   * sorts of a packed 45-bit key of substring symbols 2..6 (9 bits
+   * each: byte value + 1; 0 = past-end, which sorts first, matching
+   * the first-exhausted-is-smaller substring order).  Resolves depth
+   * 7 total — groups still tied finish with multikey quicksort at
+   * depth 7.  One 8-byte scatter pass replaces the previous global
+   * 4-pass 63-bit LSD radix (~5x less DRAM traffic); buckets average
+   * m/65536 entries and even the biggest text buckets fit L2. */
   {
     uint64_t *K = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
-    uint64_t *K2 = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
-    int32_t *V2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
-    int32_t *hist = (int32_t *)malloc(sizeof(int32_t) * 65536);
-    if (!K || !K2 || !V2 || !hist) {
-      free(K); free(K2); free(V2); free(hist);
+    int32_t *cur = (int32_t *)malloc(sizeof(int32_t) * 65536);
+    if (!K || !cur) {
+      free(K); free(cur);
       free(cntA); free(cntB); free(cntBs); free(PB); free(SB); free(RK);
       return -8;
     }
+    for (int32_t b = 0; b < 65536; b++)
+      cur[b] = b ? cntBs[b - 1] : 0;    /* bucket start offsets */
     for (int32_t j = 0; j < m; j++) {
       int32_t p = PB[j];
       int32_t e = (j + 1 < m) ? PB[j + 1] + 2 : n;
       uint64_t k = 0;
       int32_t w = e - p;
       if (w >= 7) {
-        for (int q = 0; q < 7; q++)
+        for (int q = 2; q < 7; q++)
           k = (k << 9) | (uint64_t)(R[p + q] + 1);
       } else {
-        for (int q = 0; q < w; q++)
+        for (int q = 2; q < w; q++)
           k = (k << 9) | (uint64_t)(R[p + q] + 1);
-        k <<= 9 * (7 - w);
+        k <<= 9 * (7 - (w > 2 ? w : 2));
       }
-      K[j] = k;
-      SB[j] = j;
+      int32_t bkt = ((int32_t)R[p] << 8) | R[p + 1];
+      K[cur[bkt]++] = (k << 19) | (uint32_t)j;   /* j < 2^19: m <= n/2 */
     }
-    int32_t *V = SB;
-    for (int pass = 0; pass < 4; pass++) {
-      int sh = 16 * pass;
-      memset(hist, 0, 65536 * sizeof(int32_t));
-      for (int32_t x = 0; x < m; x++) hist[(K[x] >> sh) & 65535]++;
-      int32_t sum = 0;
-      for (int32_t b = 0; b < 65536; b++) {
-        int32_t t = hist[b]; hist[b] = sum; sum += t;
-      }
-      for (int32_t x = 0; x < m; x++) {
-        int32_t d = hist[(K[x] >> sh) & 65535]++;
-        K2[d] = K[x];
-        V2[d] = V[x];
-      }
-      uint64_t *tk = K; K = K2; K2 = tk;
-      int32_t *tv = V; V = V2; V2 = tv;
-    }
-    uint64_t *KS = K;                 /* keys aligned with V */
-    if (V != SB) memcpy(SB, V, sizeof(int32_t) * (size_t)m);
 
-    ITBT(1)  /* key build + radix */
-    /* stage 2 (rare): multikey quicksort inside equal-key runs whose
-     * key has no past-end symbol, then name tied groups.  rank = the
-     * last slot of each tied group. */
-    {
-      int32_t gs = 0;
-      while (gs < m) {
+    ITBT(1)  /* key build + bucket scatter */
+    /* per-bucket: sort on the packed key (value bits don't disturb
+     * key order within ties, and tie order is irrelevant — tied
+     * groups are renamed below), then name groups.  rank = the last
+     * slot of each tied group. */
+    for (int32_t b = 0; b < 65536; b++) {
+      int32_t lo = b ? cntBs[b - 1] : 0, hi = cntBs[b];
+      if (hi - lo < 1) continue;
+      if (hi - lo > 1) itb_u64sort(K, lo, hi - 1);
+      /* (measured: in-cache quicksort beats LSD passes on the 45-bit
+       * keys at every realistic bucket size on this box) */
+      int32_t gs = lo;
+      while (gs < hi) {
         int32_t ge = gs + 1;
-        uint64_t k = KS[gs];
-        while (ge < m && KS[ge] == k) ge++;
+        uint64_t k = K[gs] >> 19;
+        while (ge < hi && (K[ge] >> 19) == k) ge++;
+        for (int32_t x = gs; x < ge; x++)
+          SB[x] = (int32_t)(K[x] & 0x7FFFF);
         if (ge - gs > 1 && (k & 511) != 0) {
           itb_mkqsort(&C, SB + gs, ge - gs, 7);
           int32_t r_end;
@@ -360,8 +361,7 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
         gs = ge;
       }
     }
-    free(K); free(K2); free(hist);
-    free(V == SB ? V2 : V);   /* exactly one of V/V2 is the malloc */
+    free(K); free(cur);
   }
 
   ITBT(2)  /* naming */
@@ -372,8 +372,10 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
     int32_t *W = (int32_t *)malloc(sizeof(int32_t) * (size_t)(m + 2));
     int32_t *W2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)(m + 2));
     uint64_t *PK = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
-    if (!W || !W2 || !PK) {
-      free(W); free(W2); free(PK); free(cntA); free(cntB); free(cntBs);
+    uint64_t *PT = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)m);
+    if (!W || !W2 || !PK || !PT) {
+      free(W); free(W2); free(PK); free(PT);
+      free(cntA); free(cntB); free(cntBs);
       free(PB); free(SB); free(RK);
       return -8;
     }
@@ -388,20 +390,50 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       int32_t wm = 0;
       for (int32_t w = 0; w < wn; w += 2) {
         int32_t lo = W[w], hi = W[w + 1];
-        /* pack (rank-of-(j+h) + 1, j): 20 low bits of value keep key
-         * order dominant; rank -1 (reduced suffix ends) packs as 0 */
+        /* pack (rank-of-(j+h) + 1, j): 19 low bits of value keep key
+         * order dominant; rank -1 (reduced suffix ends) packs as 0.
+         * RK[j+h] is the one random gather here: prefetch 8 ahead
+         * (SB itself streams sequentially). */
         for (int32_t x = lo; x <= hi; x++) {
+          if (x + 8 <= hi) {
+            int32_t jp = SB[x + 8];
+            if (jp + h < m) __builtin_prefetch(&RK[jp + h]);
+          }
           int32_t j = SB[x];
           uint64_t key = (j + h < m) ? (uint64_t)(RK[j + h] + 1) : 0;
-          PK[x] = (key << 20) | (uint32_t)j;
+          PK[x] = (key << 19) | (uint32_t)j;
         }
-        itb_u64sort(PK, lo, hi);
+        if (hi - lo > 96) {
+          /* ranks are < 2^19: two 10-bit LSD passes in L1/L2 beat
+           * the comparison sort for big groups (the page-repeat-heavy
+           * corpora that stress doubling produce many of them) */
+          int32_t s = hi - lo + 1;
+          uint64_t *src = PK + lo, *dst = PT;
+          for (int pass = 0; pass < 2; pass++) {
+            int sh = 19 + 10 * pass;
+            int32_t hst[1024];
+            memset(hst, 0, sizeof(hst));
+            for (int32_t x = 0; x < s; x++) hst[(src[x] >> sh) & 1023]++;
+            if (hst[(src[0] >> sh) & 1023] == s) continue;
+            int32_t sum = 0;
+            for (int d = 0; d < 1024; d++) {
+              int32_t t = hst[d]; hst[d] = sum; sum += t;
+            }
+            for (int32_t x = 0; x < s; x++)
+              dst[hst[(src[x] >> sh) & 1023]++] = src[x];
+            uint64_t *t = src; src = dst; dst = t;
+          }
+          if (src != PK + lo)
+            memcpy(PK + lo, src, sizeof(uint64_t) * (size_t)s);
+        } else {
+          itb_u64sort(PK, lo, hi);
+        }
         /* split into subgroups, refresh ranks */
         int32_t gs = lo;
         for (int32_t x = lo + 1; x <= hi + 1; x++) {
-          if (x > hi || (PK[x] >> 20) != (PK[gs] >> 20)) {
+          if (x > hi || (PK[x] >> 19) != (PK[gs] >> 19)) {
             for (int32_t y = gs; y < x; y++) {
-              int32_t j = (int32_t)(PK[y] & 0xFFFFF);
+              int32_t j = (int32_t)(PK[y] & 0x7FFFF);
               SB[y] = j;
               RK[j] = x - 1;
             }
@@ -414,7 +446,7 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       wn = wm;
       h *= 2;
     }
-    free(W); free(W2); free(PK);
+    free(W); free(W2); free(PK); free(PT);
   }
 
   ITBT(3)  /* LS doubling */

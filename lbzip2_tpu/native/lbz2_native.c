@@ -1270,6 +1270,59 @@ long lbz2_scan_magic(const uint8_t *data, long nbytes, uint64_t magic,
 #include "itbwt.c"
 #include "sais.c"
 
+/* Fused window worker: RLE1-collect one in_granul window, then
+ * CRC + BWT + entropy-encode every resulting block — a whole window
+ * per ctypes call with caller-provided reusable scratch, so the
+ * Python orchestration layer pays no per-block allocation or
+ * wrapper cost (the reference keeps a persistent per-worker encoder
+ * arena for the same reason, src/encode.c:109-132).
+ *
+ * blk_scratch: >= wn*5/4+64 B (RLE1 worst-case expansion)
+ * R/bwt_scratch: >= mbs+16 B; mtfv_scratch: >= mbs+52 u16
+ * out: payloads back to back; pay_lens/crcs/starts/ends per block.
+ * Returns nblocks, or <0 on error/capacity. */
+long lbz2_encode_window(const uint8_t *win, long wn, long mbs,
+                        int cluster_factor, uint8_t *blk_scratch,
+                        long blk_cap, uint8_t *R_scratch,
+                        uint8_t *bwt_scratch, uint16_t *mtfv_scratch,
+                        uint8_t *out, long out_cap, long *starts,
+                        long *ends, long *pay_lens, uint32_t *crcs,
+                        long max_blocks) {
+  long blens[512];
+  uint8_t cmaps[512 * 256];
+  if (max_blocks > 512) max_blocks = 512;
+  long nb = lbz2_rle1_collect(win, wn, mbs, wn, blk_scratch, blk_cap,
+                              starts, ends, blens, cmaps, max_blocks);
+  if (nb < 0) return nb;
+  long bpos = 0, opos = 0;
+  for (long b = 0; b < nb; b++) {
+    long blen = blens[b];
+    const uint8_t *blk = blk_scratch + bpos;
+    bpos += blen;
+    uint32_t crc = lbz2_crc32_block(win + starts[b], ends[b] - starts[b],
+                                    0xFFFFFFFFu) ^ 0xFFFFFFFFu;
+    crcs[b] = crc;
+    if (out_cap - opos < blen + (blen >> 1) + 8192) return -3;
+    long m = lbz2_lyndon_prep(blk, blen, R_scratch);
+    long idx;
+    if (m >= 0) {
+      idx = itb_bwt(R_scratch, (int32_t)blen, bwt_scratch,
+                    (int32_t)((blen - m) % blen));
+      if (idx < 0) idx = lbz2_bwt(blk, blen, bwt_scratch);
+    } else {
+      idx = lbz2_bwt(blk, blen, bwt_scratch);
+    }
+    if (idx < 0) return -4;
+    long pl = lbz2_encode_payload(bwt_scratch, blen, cmaps + b * 256,
+                                  idx, crc, cluster_factor,
+                                  mtfv_scratch, out + opos);
+    if (pl <= 0) return -5;
+    pay_lens[b] = pl;
+    opos += pl;
+  }
+  return nb;
+}
+
 /* Full block encode: BWT (SA-IS) + entropy, host-only path. */
 long lbz2_encode_block(const uint8_t *block, long n,
                        const uint8_t *cmap_used, uint32_t crc_stored,

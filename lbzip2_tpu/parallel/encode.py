@@ -49,16 +49,13 @@ def _window_worker(args) -> list[tuple[bytes, int]]:
     reference collects each in_granul buffer with a fresh collector,
     src/compress.c:66-117), so the whole per-window pipeline runs
     inside the worker and the main thread never serializes a collect
-    pass over the full input before encoding can start."""
+    pass over the full input before encoding can start.  The entire
+    window goes through ONE fused C call (lbz2_encode_window) with a
+    reusable per-thread arena — per-block Python wrapper and
+    allocation overhead measured ~25% of single-core throughput."""
     window, mbs, cluster = args
-    out = []
-    for (a, b, blk, cmap) in native.rle1_collect(window, mbs, mbs):
-        crc_stored = (native.crc32_block(window[a:b]) ^ 0xFFFFFFFF) \
-            & 0xFFFFFFFF
-        out.append((native.encode_block(blk, cmap.astype(np.uint8),
-                                        crc_stored, cluster),
-                    crc_stored))
-    return out
+    pays, _, _, crcs = native.encode_window(window, mbs, cluster)
+    return list(zip(pays, crcs))
 
 
 def compress_blocks(data: bytes | np.ndarray, level: int = 9,
