@@ -209,33 +209,66 @@ static inline void bw_put(bw_t *w, uint32_t v, int k) {
 }
 
 /* Full payload encode.  bwt_bytes: BWT output bytes for one block.
- * Returns payload byte length.  The MTF runs over (byte, runlen)
- * tokens: BWT rows are run-heavy by construction, and the run scan +
- * per-token MTF measures ~15-20% faster than the per-byte loop
- * (mtf_rle2_c remains as the differential oracle for the token MTF,
- * tested in tests/test_native.py). */
+ * Returns payload byte length.  The run scan is fused into the MTF
+ * loop (BWT rows are run-heavy by construction, so the MTF does one
+ * rank lookup per RUN, not per byte; no intermediate token array —
+ * that cost a 2-byte write+read per run).  mtf_rle2_c /
+ * mtf_rle2_tokens_c remain as differential oracles, tested in
+ * tests/test_native.py. */
 long lbz2_encode_payload(const uint8_t *bwt_bytes, long n,
                          const uint8_t *cmap_used, long bwt_idx,
                          uint32_t crc_stored, int cluster_factor,
                          uint16_t *mtfv_scratch, uint8_t *out) {
-  /* heap scratch, not __thread static: a permanent ~1.8 MB/thread
-   * buffer would pin RSS for every worker that ever encoded */
   ENT_T0
-  uint16_t *tok = (uint16_t *)malloc(sizeof(uint16_t) * (size_t)(n + 1));
-  if (!tok) return -1;
-  long nt = 0, i = 0;
-  while (i < n) {
-    uint8_t c = bwt_bytes[i];
-    long j = i + 1;
-    long lim = i + 255 < n ? i + 255 : n;
-    while (j < lim && bwt_bytes[j] == c) j++;
-    tok[nt++] = (uint16_t)(((uint16_t)c << 8) | (j - i));
-    i = j;
+  uint8_t cmap[256];
+  union { uint8_t b[264]; uint64_t w[33]; } order;
+  int ninuse = 0;
+  for (int v = 0; v < 256; v++) {
+    cmap[v] = (uint8_t)ninuse;
+    if (cmap_used[v]) ninuse++;
   }
-  ENTT(0)
-  long nm = mtf_rle2_tokens_c(tok, nt, cmap_used, mtfv_scratch);
+  memset(order.b, 0xFF, sizeof(order.b));
+  for (int v = 0; v < ninuse; v++) order.b[v] = (uint8_t)v;
+  uint16_t *mv = mtfv_scratch;
+  long nm = 0;
+  long k = 0;  /* pending zero-run (front hits) */
+  uint8_t u = 0;
+  long i = 0;
+  while (i < n) {
+    uint8_t cb = bwt_bytes[i];
+    long j = i + 1;
+    while (j < n && bwt_bytes[j] == cb) j++;
+    long len = j - i;
+    i = j;
+    uint8_t c = cmap[cb];
+    if (c == u) { k += len; continue; }
+    while (k) { k--; mv[nm++] = (uint16_t)(k & 1); k >>= 1; }
+    uint64_t pat = (uint64_t)c * 0x0101010101010101ULL;
+    int wi = 0;
+    uint64_t x;
+    for (;;) {
+      x = order.w[wi] ^ pat;
+      uint64_t zf = (x - 0x0101010101010101ULL) & ~x &
+                    0x8080808080808080ULL;
+      if (zf) { x = zf; break; }
+      wi++;
+    }
+    int r = wi * 8 + (__builtin_ctzll(x) >> 3);
+    if (wi == 0) {
+      uint64_t w0 = order.w[0];
+      uint64_t low = (r == 7) ? ~0ULL : ((1ULL << (8 * (r + 1))) - 1);
+      order.w[0] = (w0 & ~low) | (((w0 << 8) | c) & low);
+    } else {
+      memmove(order.b + 1, order.b, (size_t)r);
+      order.b[0] = c;
+    }
+    mv[nm++] = (uint16_t)(r + 1);
+    u = c;
+    k += len - 1;
+  }
+  while (k) { k--; mv[nm++] = (uint16_t)(k & 1); k >>= 1; }
+  mv[nm++] = (uint16_t)(ninuse + 1);  /* EOB */
   ENTT(1)
-  free(tok);
   return lbz2_encode_payload_from_mtfv(mtfv_scratch, nm, cmap_used,
                                        bwt_idx, crc_stored,
                                        cluster_factor, out);

@@ -335,8 +335,8 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       int32_t lo = b ? cntBs[b - 1] : 0, hi = cntBs[b];
       if (hi - lo < 1) continue;
       if (hi - lo > 1) itb_u64sort(K, lo, hi - 1);
-      /* (measured: in-cache quicksort beats LSD passes on the 45-bit
-       * keys at every realistic bucket size on this box) */
+      /* (measured on this box: in-cache quicksort beats both LSD and
+       * MSD/American-flag byte radix at every realistic bucket size) */
       int32_t gs = lo;
       while (gs < hi) {
         int32_t ge = gs + 1;
