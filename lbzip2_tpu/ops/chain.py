@@ -386,23 +386,19 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
 
     ninuse_dev = jnp.asarray(ninuse)
     nt_dev = jnp.asarray(nt_arr)
-    # group histogram once; each E-step is then two MXU matmuls
+    # group histogram once, then the WHOLE EM loop (E-steps, Huffman
+    # refit M-steps, fixed-point cutoff) as one device program — the
+    # host-driven loop cost ~226 ms of wire+dispatch per iteration
+    # over the tunnel (ops/huffenc.py; bit-identical to the
+    # native/huffman2.c M-step by differential test)
+    from lbzip2_tpu.ops.huffenc import em_chain
     hist_g, _, ngroups_dev = group_hist(mtfv, nm, ninuse_dev)
-    sel = freqs = prev_sel = None
-    for it in range(cluster_factor):
-        sel, freqs = em_estep_hist(hist_g, ngroups_dev, nt_dev,
-                                   jnp.asarray(lengths))
-        freqs_h = np.asarray(freqs).astype(np.uint32)
-        # fixed-point cutoff (same argument as the C encoder): equal
-        # selectors => equal freqs => the already-applied M-step's
-        # lengths are final; remaining iterations are the identity
-        if prev_sel is not None and bool(jnp.all(sel == prev_sel)):
-            break
-        prev_sel = sel
-        if it < cluster_factor - 1:
-            # C M-step writes symbols 0..as-1 only, so the zeroed
-            # dummy columns (>= as) persist across iterations
-            native.em_mstep(freqs_h, as_arr, nt_arr, lengths)
+    sel, freqs, lengths_dev, _ = em_chain(
+        hist_g, ngroups_dev, nt_dev, jnp.asarray(as_arr.astype(np.int32)),
+        jnp.asarray(lengths.astype(np.int32)), cluster_factor)
+    freqs_h = np.asarray(freqs).astype(np.uint32)
+    lengths = np.ascontiguousarray(
+        np.asarray(lengths_dev), np.uint8).reshape(B, MAX_TREES, WIDTH)
 
     sel_h = np.asarray(sel.astype(jnp.uint8))
     codes, hdr, hdr_bits, payload_bits = native.chain_finish(
