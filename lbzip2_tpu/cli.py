@@ -275,6 +275,22 @@ def parse_args(ctx: _Ctx, argv: list[str], environ=os.environ) -> Options:
     if opts.num_worker == 0:
         opts.num_worker = os.cpu_count() or 1
 
+    # Enforce -m by capping the worker count to the reference memory
+    # model (src/process.c:624-646 leaves this as a TODO; we apply it):
+    #   compress  ~ W * (2*bs in-slots + out slots + encoder arena
+    #               ~13*bs + suffix-sort scratch ~16*bs) ~= W * 31*bs
+    #   expand    ~ W * (4*256 KiB in + 16*900000 out + tt 3.6 MB)
+    if opts.max_mem:
+        bs = opts.bs100k * 100000
+        per_w = (31 * bs) if not opts.decompress else \
+            (4 * 262144 + 16 * 900000 + 3600000)
+        cap = max(1, int(opts.max_mem // per_w))
+        if cap < opts.num_worker:
+            if opts.verbose:
+                _warn(ctx, f"capping workers {opts.num_worker} -> {cap} "
+                           f"to honor -m {opts.max_mem}")
+            opts.num_worker = cap
+
     # --small is parsed but force-disabled, as in the reference
     # (src/main.c:920-923).
     opts.small = False
@@ -353,7 +369,10 @@ def _work(ctx: _Ctx, opts: Options, infd, outfd,
 
             try:
                 return decompress_stream(read_chunk, sink.write,
-                                         n_workers=opts.num_worker)
+                                         n_workers=opts.num_worker,
+                                         verbose=opts.verbose,
+                                         in_size=in_size,
+                                         progress_name=in_name)
             except StreamError as e:
                 from lbzip2_tpu.core.constants import ERROR_MESSAGES
                 _fail(ctx, f"{in_name}: compressed data error: "

@@ -88,7 +88,12 @@ _STEALBACK_GRACE_S = float(os.environ.get("LBZ2_STEALBACK_GRACE_S",
 # the BWT-tokens split wins whenever host cores aren't the bottleneck.
 # The chain is bit-exact on chip (probe verifies rows) and becomes the
 # right default when the host:chip core ratio drops.
-_DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "0") == "1"
+# Device-chain mode (entropy on chip, payload-only download) is the
+# default since the round-4 on-chip EM fold: it costs the wire only
+# the ~0.3x payload download and near-zero host time per device
+# block, which is the winning trade on a half-duplex tunnel with 2
+# host cores.  LBZ2_DEVICE_CHAIN=0 restores the token path.
+_DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "1") == "1"
 
 
 def _bucket_for(n: int) -> int | None:
@@ -222,11 +227,25 @@ class _WorkPool:
     def take_head(self, k: int) -> list[int]:
         """Device claim: full batches while the queue is deep, batches
         of 8 near the end, at most half the remainder — so host
-        tail-stealing always keeps its share of a short queue."""
+        tail-stealing always keeps its share of a short queue.
+
+        Drain guard: once live rates are known, don't claim blocks the
+        host pool would finish faster than one device batch round
+        trip — otherwise the end of every stream runs at device batch
+        latency (measured: a 200 MB stream lost ~40% of wall time to
+        the final two claimed batches)."""
         with self.q_lock:
             if self.abandoned:  # watchdog fired: stop claiming
                 return []
             remaining = self.tail - self.head
+            el = time.time() - self.stats["t0"]
+            hb = self.stats["host_blocks"]
+            db = self.stats["device_batches"]
+            if hb and len(db) >= 2 and el > 0:
+                host_bps = hb / el                       # blocks/s
+                lat = max(2.0, (db[-1][1] - db[0][1]) / (len(db) - 1))
+                if remaining < k + host_bps * lat:
+                    return []
             if remaining < 2 * k:
                 k = 8 if remaining >= 16 else max(1, remaining // 2)
             got = self.ids[self.head:min(self.head + k, self.tail)]
@@ -247,9 +266,14 @@ class _WorkPool:
         device completes oldest batches first, so the youngest is the
         least likely to be seconds from delivery.  First result wins;
         the loser's late duplicate is dropped by put_result."""
-        if self.last_batch_t and \
+        with self.q_lock:
+            queue_empty = self.tail <= self.head
+        if not queue_empty and self.last_batch_t and \
                 time.time() - self.last_batch_t < _STEALBACK_GRACE_S:
-            return None  # device is streaming: don't duplicate work
+            return None  # device is streaming AND there is tail work:
+            # don't duplicate.  With an empty tail the host has nothing
+            # else to do, so racing the device is a free win (first
+            # result wins; the loser's duplicate is dropped).
         with self.q_lock:
             if not self.claimed:
                 return None
@@ -665,6 +689,16 @@ def warm_device(rows=(_BATCH,), bucket: int = _BUCKETS[-1]) -> float:
         outs = fn(jax.device_put(batch), jax.device_put(ns),
                   jax.device_put(ms))
         np.asarray(outs[-1])  # block until the program really ran
+        if _DEVICE_CHAIN:
+            # compile the whole entropy chain too (chain_mtf2,
+            # em_chain, pack_groups, flatten): shape-dependent only,
+            # so tiny Lyndon rows warm the production programs
+            from lbzip2_tpu.ops.chain import chain_payloads
+            cmaps = np.zeros((r, 256), np.uint8)
+            cmaps[:, :2] = 1
+            crcs = np.zeros(r, np.uint32)
+            chain_payloads(outs[0], ns, cmaps,
+                           np.asarray(outs[1], np.int32), crcs)
     return time.time() - t0
 
 

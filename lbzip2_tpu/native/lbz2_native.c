@@ -220,16 +220,29 @@ static inline long bits_read(bits_t *b, int k, int *err) {
 /* Block retrieve (Huffman decode + IMTF + RLE2)                       */
 /* ------------------------------------------------------------------ */
 
+/* first-level LUT entry (u32):
+ *   bit 31 LONGF : first code longer than LUT_WIDTH (slow path)
+ *   bit 30 PAIRF : entry decodes TWO symbols in one step
+ *   [0,5)  k     : total bits consumed (pair) / code length (single)
+ *   [5,14) sym1
+ *   [14,23) sym2  (pair only)
+ *   [23,28) k1    (pair only: first code's length, for group-boundary
+ *                  and EOF splits)
+ * A two-symbol step halves the serial bit-position dependency chain —
+ * the fundamental limit of Huffman decode — and short RUNA/RUNB pairs
+ * (the bulk of text payloads) almost always fit 11 bits together. */
+#define LUTF_LONG 0x80000000u
+#define LUTF_PAIR 0x40000000u
+
 typedef struct {
   int status;                    /* E_OK or deferred error */
   uint64_t base[MAX_CODE_LENGTH + 2];  /* left-justified 20-bit bases */
   int count[MAX_CODE_LENGTH + 2];      /* cum counts of lengths < k */
   uint16_t perm[258];
-  /* 10-bit first-level LUT: value = (symbol<<5)|len, or len-only>10 */
-  uint16_t lut[1024];
+  uint32_t lut[2048];
 } tree_t;
 
-#define LUT_WIDTH 10
+#define LUT_WIDTH 11
 
 static void make_tree(tree_t *t, const uint8_t *len, int alpha) {
   int C[MAX_CODE_LENGTH + 2];
@@ -261,22 +274,51 @@ static void make_tree(tree_t *t, const uint8_t *len, int alpha) {
     int sym = s == 0 ? 257 : s == 1 ? 258 : s == alpha - 1 ? 0 : s - 1;
     t->perm[idx[len[s]]++] = (uint16_t)sym;
   }
-  /* first-level LUT over 10 bits */
+  /* first-level LUT: single-symbol pass, then pair fill */
   int code = 0;
   int inc = 1 << (LUT_WIDTH - 1);
   for (int k = 1; k <= LUT_WIDTH; k++) {
     for (int s = t->count[k]; s < t->count[k + 1]; s++) {
-      uint16_t x = (uint16_t)((t->perm[s] << 5) | k);
+      uint32_t x = ((uint32_t)t->perm[s] << 5) | (uint32_t)k;
       for (int v = 0; v < inc; v++) t->lut[code + v] = x;
       code += inc;
     }
     inc >>= 1;
   }
-  while (code < (1 << LUT_WIDTH)) {
-    /* long-code marker: store 0xFFFF; slow path resolves */
-    t->lut[code++] = 0xFFFF;
+  while (code < (1 << LUT_WIDTH)) t->lut[code++] = LUTF_LONG;
+  /* pair fill: entry e starts with (k1, sym1); if the next code also
+   * completes inside the window, fold it in */
+  for (int e = 0; e < (1 << LUT_WIDTH); e++) {
+    uint32_t x = t->lut[e];
+    if (x & LUTF_LONG) continue;
+    int k1 = (int)(x & 31);
+    int s1 = (int)((x >> 5) & 511);
+    if (s1 == 0) continue;             /* EOB: the block ends here */
+    int rem = LUT_WIDTH - k1;
+    if (rem <= 0) continue;
+    uint32_t v2 = ((uint32_t)e << k1) & ((1u << LUT_WIDTH) - 1);
+    uint32_t x2 = t->lut[v2];
+    if (x2 & LUTF_LONG) continue;
+    /* x2 may itself already be pair-converted by this loop: take its
+     * FIRST code only (k1 field when paired) */
+    int k2 = (int)((x2 & LUTF_PAIR) ? (x2 >> 23) & 31 : x2 & 31);
+    if (k2 > rem) continue;
+    int s2 = (int)((x2 >> 5) & 511);
+    t->lut[e] = LUTF_PAIR | (uint32_t)(k1 + k2) |
+                ((uint32_t)s1 << 5) | ((uint32_t)s2 << 14) |
+                ((uint32_t)k1 << 23);
   }
   t->status = E_OK;
+}
+
+/* single-symbol view of a LUT entry (resumable/boundary walkers) */
+static inline void lut_first(uint32_t x, int *k1, int *sym1) {
+  if (x & LUTF_PAIR) {
+    *k1 = (int)((x >> 23) & 31);
+  } else {
+    *k1 = (int)(x & 31);
+  }
+  *sym1 = (int)((x >> 5) & 511);
 }
 
 /* Decode one block payload after magic+CRC.  Returns error code.
@@ -370,13 +412,60 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
     tree_t *T = &trees[tsel];
     if (T->status != E_OK) return T->status;
 
+/* RLE2 + IMTF processing of one decoded symbol; `continue` skips to
+ * the next symbol of the group, EOB sets eob and breaks the group */
+#define PROC_SYM(sym)                                                  \
+      if (sym == 0) { /* EOB */                                        \
+        if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;\
+        memset(out_bwt + size, run_char, run);                         \
+        size += run;                                                   \
+        eob = 1;                                                       \
+        break;                                                         \
+      }                                                                \
+      if (sym >= 256 && run <= MAX_BLOCK_SIZE) {                       \
+        run += (uint64_t)(sym - 256) << shift;                         \
+        shift++;                                                       \
+      } else {                                                         \
+        if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;\
+        if (run <= 8) {                                                \
+          /* typical runs are 1-3 bytes: one unconditional 8-byte      \
+           * broadcast store beats a memset call.  Callers provision   \
+           * 8 bytes of slack past MAX_BLOCK_SIZE. */                  \
+          uint64_t bc = (uint64_t)run_char * 0x0101010101010101ULL;    \
+          memcpy(out_bwt + size, &bc, 8);                              \
+        } else {                                                       \
+          memset(out_bwt + size, run_char, run);                       \
+        }                                                              \
+        size += run;                                                   \
+        { /* inverse MTF */                                            \
+          int r_ = sym;                                                \
+          uint8_t c_ = imtf[r_];                                       \
+          memmove(imtf + 1, imtf, r_);                                 \
+          imtf[0] = c_;                                                \
+          run_char = c_;                                               \
+        }                                                              \
+        run = 1;                                                       \
+        shift = 0;                                                     \
+      }
+
     for (int m = 0; m < GROUP_SIZE; m++) {
       uint32_t v = bits_peek20(&bs);
-      uint16_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
+      uint32_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
       int k, sym;
-      if (x != 0xFFFF) {
-        k = x & 0x1F;
-        sym = x >> 5;
+      if (!(x & LUTF_LONG)) {
+        k = (int)(x & 31);
+        sym = (int)((x >> 5) & 511);
+        if ((x & LUTF_PAIR) && m + 1 < GROUP_SIZE &&
+            bs.pos + k <= bs.nbits) {
+          /* two symbols in one step */
+          bs.pos += k;
+          PROC_SYM(sym)
+          m++;
+          int sym2 = (int)((x >> 14) & 511);
+          PROC_SYM(sym2)
+          continue;
+        }
+        if (x & LUTF_PAIR) k = (int)((x >> 23) & 31);  /* first only */
       } else {
         k = LUT_WIDTH + 1;
         while ((uint64_t)v >= T->base[k + 1]) k++;
@@ -384,42 +473,10 @@ long lbz2_retrieve_block(const uint8_t *data, long nbits, long *bitpos,
       }
       if (bs.pos + k > bs.nbits) return E_EOF;
       bs.pos += k;
-
-      if (sym == 0) { /* EOB */
-        if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;
-        memset(out_bwt + size, run_char, run);
-        size += run;
-        eob = 1;
-        break;
-      }
-      if (sym >= 256 && run <= MAX_BLOCK_SIZE) {
-        run += (uint64_t)(sym - 256) << shift;
-        shift++;
-        continue;
-      }
-      if (run > (uint64_t)(MAX_BLOCK_SIZE - size)) return E_OVERFLOW;
-      if (run <= 8) {
-        /* typical runs are 1-3 bytes: one unconditional 8-byte
-         * broadcast store beats a memset call.  Callers provision
-         * 8 bytes of slack past MAX_BLOCK_SIZE. */
-        uint64_t bc = (uint64_t)run_char * 0x0101010101010101ULL;
-        memcpy(out_bwt + size, &bc, 8);
-      } else {
-        memset(out_bwt + size, run_char, run);
-      }
-      size += run;
-      /* inverse MTF */
-      {
-        int r = sym;
-        uint8_t c = imtf[r];
-        memmove(imtf + 1, imtf, r);
-        imtf[0] = c;
-        run_char = c;
-      }
-      run = 1;
-      shift = 0;
+      PROC_SYM(sym)
     }
   }
+#undef PROC_SYM
   if (!eob) return E_UNTERM;
   if (size == 0) return E_EMPTY;
   if (idx >= size) return E_BWTIDX;
@@ -485,11 +542,10 @@ static long retr_group(retr_state_t *st, bits_t *bs, uint8_t *out_bwt) {
 
   for (int m = 0; m < GROUP_SIZE; m++) {
     uint32_t v = bits_peek20(bs);
-    uint16_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
+    uint32_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
     int k, sym;
-    if (x != 0xFFFF) {
-      k = x & 0x1F;
-      sym = x >> 5;
+    if (!(x & LUTF_LONG)) {
+      lut_first(x, &k, &sym);
     } else {
       k = LUT_WIDTH + 1;
       while ((uint64_t)v >= T->base[k + 1]) k++;
@@ -784,11 +840,10 @@ long lbz2_retrieve_boundaries(const uint8_t *data, long nbits,
 
     for (int m = 0; m < GROUP_SIZE; m++) {
       uint32_t v = bits_peek20(&bs);
-      uint16_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
+      uint32_t x = T->lut[v >> (MAX_CODE_LENGTH - LUT_WIDTH)];
       int k, sym;
-      if (x != 0xFFFF) {
-        k = x & 0x1F;
-        sym = x >> 5;
+      if (!(x & LUTF_LONG)) {
+        lut_first(x, &k, &sym);
       } else {
         k = LUT_WIDTH + 1;
         while ((uint64_t)v >= T->base[k + 1]) k++;

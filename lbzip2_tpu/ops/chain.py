@@ -230,15 +230,17 @@ def _pack_groups(mtfv: jnp.ndarray, nm: jnp.ndarray,
                                       (0, G * GROUP_SIZE - NP))), as_)
     groups = padded.reshape(B, G, GROUP_SIZE)
 
-    # per-symbol code + length via small-table gathers
+    # per-symbol code + length via ONE small-table gather: canonical
+    # codes are < 2^20 and lengths <= 20, so (len << 24) | code packs
+    # into int32 — halves the dominant 28.8M-element gather traffic
     tree = jnp.clip(selectors, 0, MAX_TREES - 1)
     flat_sym = (tree[:, :, None] * WIDTH + groups).reshape(B, -1)
-    cflat = codes.reshape(B, MAX_TREES * WIDTH)
-    lflat = lens.reshape(B, MAX_TREES * WIDTH)
-    cv = jnp.take_along_axis(cflat, flat_sym, axis=1).reshape(
-        B, G, GROUP_SIZE).astype(jnp.uint32)
-    lv = jnp.take_along_axis(lflat, flat_sym, axis=1).reshape(
-        B, G, GROUP_SIZE).astype(jnp.int32)
+    packed_tab = ((lens.astype(jnp.int32) << 24) |
+                  codes.astype(jnp.int32)).reshape(B, MAX_TREES * WIDTH)
+    pv = jnp.take_along_axis(packed_tab, flat_sym, axis=1).reshape(
+        B, G, GROUP_SIZE)
+    cv = (pv & 0x00FFFFFF).astype(jnp.uint32)
+    lv = pv >> 24
     gvalid = (jnp.arange(G, dtype=jnp.int32)[None] < ngroups[:, None])
     lv = jnp.where(gvalid[:, :, None], lv, 0)
 
@@ -341,6 +343,48 @@ import functools
 
 pack_groups = jax.jit(_pack_groups, static_argnames=("W",))
 
+
+def _chain_mtf2(bwt: jnp.ndarray, ns: jnp.ndarray, cmaps: jnp.ndarray):
+    """chain_mtf + group_hist in one dispatch; the flat MTF histogram
+    (host initial-tree input) is the group histogram's group-sum, so
+    the separate sorted-merge hist pass (~150 ms/batch) disappears.
+    Lanes >= as hold padding counts; the host only reads 0..as-1."""
+    B, N = bwt.shape
+    syms = _compact_syms(bwt, cmaps)
+    ninuse = jnp.sum(cmaps.astype(jnp.int32), axis=1)
+    ranks = jax.vmap(lambda s, n: mtf_ranks(s, n))(syms, ns)
+    mtfv, nm = _rle2_batch(ranks, ns, ninuse)
+    hist_g, _, ngroups = _group_hist(mtfv, nm, ninuse)
+    hist = jnp.sum(hist_g, axis=1).astype(jnp.int32)
+    return mtfv, nm, hist, hist_g, ngroups
+
+
+chain_mtf2 = jax.jit(_chain_mtf2)
+
+# Fixed flat-download capacity: one static shape so the tunnel never
+# sees a fresh compile mid-stream.  3.5M words = 14 MB covers a whole
+# 32x900k batch at ~3.9 bits/input byte; batches that exceed it fall
+# back to downloading the full words array.
+FLAT_W = 3_500_032
+
+
+@functools.partial(jax.jit, static_argnames=("F",))
+def _flatten_words(words: jnp.ndarray, ends: jnp.ndarray, F: int):
+    """Compact per-row payload words into one flat (F,) array.
+
+    ends: (B,) inclusive prefix sum of per-row word counts (int32).
+    Flat slot f belongs to row r = searchsorted(ends, f, 'right') at
+    word index f - start_r.  Downloading the compacted array moves
+    only the real payload bytes over the wire instead of B * PACK_W.
+    """
+    B, W = words.shape
+    f = jnp.arange(F, dtype=jnp.int32)
+    r = jnp.searchsorted(ends, f, side="right").astype(jnp.int32)
+    rc = jnp.minimum(r, B - 1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    idx = jnp.clip(f - starts[rc], 0, W - 1)
+    return jnp.where(r < B, words[rc, idx], 0)
+
 # Default payload word capacity per row: 5.7 bits/symbol average.  The
 # host knows each row's exact payload bits before dispatching the pack
 # and falls back to the host encoder for rows that exceed this.
@@ -370,7 +414,8 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     ns_dev = jax.device_put(jnp.asarray(ns))
     cm_dev = jax.device_put(jnp.asarray(cmaps_u8))
 
-    mtfv, nm, hist = chain_mtf(bwt_dev, ns_dev, cm_dev)
+    mtfv, nm, hist, hist_g, ngroups_dev = chain_mtf2(
+        bwt_dev, ns_dev, cm_dev)
     nm_h = np.asarray(nm)
     hist_h = np.asarray(hist)
     ninuse = cmaps_u8.sum(axis=1, dtype=np.int32)
@@ -392,7 +437,6 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     # over the tunnel (ops/huffenc.py; bit-identical to the
     # native/huffman2.c M-step by differential test)
     from lbzip2_tpu.ops.huffenc import em_chain
-    hist_g, _, ngroups_dev = group_hist(mtfv, nm, ninuse_dev)
     sel, freqs, lengths_dev, _ = em_chain(
         hist_g, ngroups_dev, nt_dev, jnp.asarray(as_arr.astype(np.int32)),
         jnp.asarray(lengths.astype(np.int32)), cluster_factor)
@@ -411,7 +455,20 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
         mtfv, nm, ninuse_dev, jnp.asarray(ngroups.astype(np.int32)),
         sel, jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)),
         jnp.asarray(start_bit), pack_w)
-    words_h = np.asarray(words)
+
+    # download only the used words: device-side flat compaction at one
+    # fixed shape (the full (B, pack_w) array is ~20 MB over a
+    # ~20 MB/s tunnel; real payloads are ~8-11 MB)
+    wcnt = np.where(fits, (payload_bits + start_bit + 31) // 32,
+                    0).astype(np.int32)
+    ends = np.cumsum(wcnt).astype(np.int32)
+    if B and ends[-1] <= FLAT_W:
+        flat = _flatten_words(words, jnp.asarray(ends), FLAT_W)
+        flat_h = np.asarray(flat)
+        rows = [flat_h[(ends[b] - wcnt[b]):ends[b]] for b in range(B)]
+    else:
+        words_h = np.asarray(words)
+        rows = [words_h[b, :wcnt[b]] for b in range(B)]
 
     out = []
     for b in range(B):
@@ -423,7 +480,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
         total_bytes = (int(hdr_bits[b]) + int(payload_bits[b])) // 8
         buf = np.zeros(total_bytes, np.uint8)
         buf[:hb] = hdr[b, :hb]
-        pb = words_h[b].astype(">u4").view(np.uint8)
+        pb = rows[b].astype(">u4").view(np.uint8)
         buf[4 * w0:] |= pb[:total_bytes - 4 * w0]
         out.append(buf.tobytes())
     return out

@@ -435,7 +435,9 @@ class _StreamBuf:
 def decompress_stream(read_chunk, write, n_workers: int | None = None,
                       chunk_size: int = 4 << 20,
                       out_slots: int | None = None,
-                      _pool_out: list | None = None) -> tuple[int, int]:
+                      _pool_out: list | None = None,
+                      verbose: bool = False, in_size: int | None = None,
+                      progress_name: str = "") -> tuple[int, int]:
     """Streaming decode with bounded input AND output memory.
 
     read_chunk(n) -> bytes supplies input; write(bytes) consumes output.
@@ -461,6 +463,29 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
     pos = 32
     combined = 0
     total_out = 0
+
+    # %/ETA over consumed input, once per second on a tty — the
+    # reference's sink-side progress covers both directions
+    # (src/process.c:392-411); rate is input-byte based there too.
+    import sys as _sys
+    import time as _time
+    _t0 = _time.time()
+    _last_prog = [0.0]
+
+    def _progress(done_bits: int):
+        if not (verbose and in_size and _sys.stderr.isatty()):
+            return
+        now = _time.time()
+        if now - _last_prog[0] < 1.0:
+            return
+        _last_prog[0] = now
+        done = min(done_bits // 8, in_size)
+        pct = 100.0 * done / in_size
+        elapsed = now - _t0
+        eta = elapsed * (in_size - done) / max(1, done)
+        _sys.stderr.write(f"\r{progress_name}: {pct:5.1f}% done, "
+                          f"ETA {eta:6.1f}s")
+        _sys.stderr.flush()
 
     def decode_at(p: int, speculative: bool = False):
         """Decode the block whose magic is at absolute bit p.
@@ -553,6 +578,7 @@ def decompress_stream(read_chunk, write, n_workers: int | None = None,
                 total_out += nw[0]
                 combined = crc32.combine_crc(combined, crc_stored)
                 pos = res["end"]
+                _progress(pos)
                 # discard superseded/false-positive candidates, then
                 # drop consumed input behind the earliest live future
                 for stale in [p for p in pending if p <= pos]:
