@@ -332,6 +332,12 @@ class _WorkPool:
         """
         import jax
         from lbzip2_tpu.ops.bwt2 import bwt2_bytes, bwt2_tokens
+        # drive EVERY local device: round-robin batches, one extra
+        # in-flight slot per additional device (single-chip boxes are
+        # the degenerate 1-device case; a virtual CPU mesh exercises
+        # the same dispatch path in tests)
+        devs = jax.local_devices()
+        disp = 0
         nfetchers = 2
         for w in range(nfetchers):
             threading.Thread(target=self._fetch_worker,
@@ -342,7 +348,8 @@ class _WorkPool:
                     break
                 # depth 1 while cold: don't queue claims behind an
                 # unproven (possibly compiling/wedged) first batch
-                cap = _INFLIGHT if self.stats["device_batches"] else 1
+                cap = (_INFLIGHT + len(devs) - 1) \
+                    if self.stats["device_batches"] else 1
                 if self.fetch_pending >= cap:
                     time.sleep(0.005)
                     continue
@@ -355,15 +362,18 @@ class _WorkPool:
                 if built is None:
                     continue
                 ids, spans, batch, ns, ms, tele = built
+                dev = devs[disp % len(devs)]
+                tele["dev"] = disp % len(devs)
+                disp += 1
                 t0 = time.time()
                 if _DEVICE_CHAIN:
-                    outs = bwt2_bytes(jax.device_put(batch),
-                                      jax.device_put(ns),
-                                      jax.device_put(ms))
+                    outs = bwt2_bytes(jax.device_put(batch, dev),
+                                      jax.device_put(ns, dev),
+                                      jax.device_put(ms, dev))
                 else:
-                    outs = bwt2_tokens(jax.device_put(batch),
-                                       jax.device_put(ns),
-                                       jax.device_put(ms))
+                    outs = bwt2_tokens(jax.device_put(batch, dev),
+                                       jax.device_put(ns, dev),
+                                       jax.device_put(ms, dev))
                     # start d2h of everything except the raw fallback
                     # rows so the wire overlaps later batches' kernels
                     for a in (outs[0], outs[2], outs[3]):

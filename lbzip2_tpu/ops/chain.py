@@ -409,10 +409,20 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     from lbzip2_tpu.ref.huffman import generate_initial_trees, num_trees_for
 
     B, N = bwt_dev.shape
+    # aux uploads must land on bwt_dev's device (the engine round-
+    # robins batches across all local devices)
+    try:
+        _dev = list(bwt_dev.devices())[0]
+    except Exception:  # noqa: BLE001 — non-jax arrays in tests
+        _dev = None
+
+    def _put(x):
+        return jax.device_put(x, _dev)
+
     ns = np.asarray(ns, np.int32)
     cmaps_u8 = np.ascontiguousarray(cmaps, np.uint8)
-    ns_dev = jax.device_put(jnp.asarray(ns))
-    cm_dev = jax.device_put(jnp.asarray(cmaps_u8))
+    ns_dev = _put(jnp.asarray(ns))
+    cm_dev = _put(jnp.asarray(cmaps_u8))
 
     mtfv, nm, hist, hist_g, ngroups_dev = chain_mtf2(
         bwt_dev, ns_dev, cm_dev)
@@ -429,8 +439,8 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
             hist_h[b].astype(np.int64), int(nm_h[b]), int(nt_arr[b]))
         lengths[b, :, as_arr[b]:] = 0
 
-    ninuse_dev = jnp.asarray(ninuse)
-    nt_dev = jnp.asarray(nt_arr)
+    ninuse_dev = _put(ninuse)
+    nt_dev = _put(nt_arr)
     # group histogram once, then the WHOLE EM loop (E-steps, Huffman
     # refit M-steps, fixed-point cutoff) as one device program — the
     # host-driven loop cost ~226 ms of wire+dispatch per iteration
@@ -438,8 +448,8 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     # native/huffman2.c M-step by differential test)
     from lbzip2_tpu.ops.huffenc import em_chain
     sel, freqs, lengths_dev, _ = em_chain(
-        hist_g, ngroups_dev, nt_dev, jnp.asarray(as_arr.astype(np.int32)),
-        jnp.asarray(lengths.astype(np.int32)), cluster_factor)
+        hist_g, ngroups_dev, nt_dev, _put(as_arr.astype(np.int32)),
+        _put(lengths.astype(np.int32)), cluster_factor)
     freqs_h = np.asarray(freqs).astype(np.uint32)
     lengths = np.ascontiguousarray(
         np.asarray(lengths_dev), np.uint8).reshape(B, MAX_TREES, WIDTH)
@@ -452,9 +462,9 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     start_bit = (hdr_bits % 32).astype(np.int32)
     fits = (payload_bits + start_bit) <= 32 * pack_w
     words, total = pack_groups(
-        mtfv, nm, ninuse_dev, jnp.asarray(ngroups.astype(np.int32)),
-        sel, jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)),
-        jnp.asarray(start_bit), pack_w)
+        mtfv, nm, ninuse_dev, _put(ngroups.astype(np.int32)),
+        sel, _put(codes), _put(lengths.astype(np.int32)),
+        _put(start_bit), pack_w)
 
     # download only the used words: device-side flat compaction at one
     # fixed shape (the full (B, pack_w) array is ~20 MB over a
@@ -463,7 +473,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
                     0).astype(np.int32)
     ends = np.cumsum(wcnt).astype(np.int32)
     if B and ends[-1] <= FLAT_W:
-        flat = _flatten_words(words, jnp.asarray(ends), FLAT_W)
+        flat = _flatten_words(words, _put(ends), FLAT_W)
         flat_h = np.asarray(flat)
         rows = [flat_h[(ends[b] - wcnt[b]):ends[b]] for b in range(B)]
     else:
