@@ -709,6 +709,11 @@ def warm_device(rows=(_BATCH,), bucket: int = _BUCKETS[-1]) -> float:
             crcs = np.zeros(r, np.uint32)
             chain_payloads(outs[0], ns, cmaps,
                            np.asarray(outs[1], np.int32), crcs)
+            # also compile the full-width pack (near-incompressible
+            # batches) so no shape ever cold-compiles mid-stream
+            chain_payloads(outs[0], ns, cmaps,
+                           np.asarray(outs[1], np.int32), crcs,
+                           _force_full_pack=True)
     return time.time() - t0
 
 

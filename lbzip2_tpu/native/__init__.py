@@ -222,11 +222,33 @@ def rle1_collect(data: np.ndarray, mbs: int, granul: int | None):
     return res
 
 
+class _DecArena(threading.local):
+    """Per-thread reusable decode scratch (~9 MB/worker): the
+    retrieve output row and the IBWT chase temporaries.  Safe to reuse
+    because every consumer either copies (ibwt_emit -> chunks bytes)
+    or materializes its own state before returning (EmitCursor builds
+    _rle in __init__ and never touches bwt again)."""
+
+    def ensure(self):
+        if getattr(self, "ret_out", None) is None:
+            self.ret_out = np.empty(900008, np.uint8)
+            self.ptr = np.empty(900000, np.int32)
+            self.pred = np.empty(900000, np.int32)
+
+
+_dec_arena = _DecArena()
+
+
 def retrieve_block(data: np.ndarray, nbits: int, bitpos: int):
-    """Decode one block payload; returns (err, newpos, bwt, idx, rand)."""
+    """Decode one block payload; returns (err, newpos, bwt, idx, rand).
+
+    The returned bwt is a view into a per-thread arena: valid until
+    this thread's next retrieve_block call (every production consumer
+    finishes with it before then; copy if retaining)."""
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
-    out = np.empty(900008, np.uint8)  # +8: broadcast-store slack
+    _dec_arena.ensure()
+    out = _dec_arena.ret_out
     pos = ctypes.c_long(bitpos)
     size = ctypes.c_long(0)
     idx = ctypes.c_long(0)
@@ -384,8 +406,9 @@ class EmitCursor:
         self._lib = get_lib()
         bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
         self._n = bwt.size
-        ptr = np.empty(self._n, np.int32)
-        pred = np.empty(self._n, np.int32)
+        _dec_arena.ensure()
+        ptr = _dec_arena.ptr          # scratch only (order build)
+        pred = _dec_arena.pred
         self._rle = np.empty(self._n, np.uint8)
         r = self._lib.lbz2_ibwt_order(
             bwt.ctypes.data_as(ctypes.c_void_p), self._n, idx,
@@ -707,8 +730,9 @@ def ibwt_emit(bwt: np.ndarray, idx: int, rand_flag: int,
     lib = get_lib()
     bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
     n = bwt.size
-    ptr = np.empty(n, np.int32)
-    pred = np.empty(n, np.int32)
+    _dec_arena.ensure()
+    ptr = _dec_arena.ptr
+    pred = _dec_arena.pred
     rle = np.empty(n, np.uint8)
     # staged capacity: most blocks expand < 4x; retry with the 255x
     # worst case only when needed (a single 256n allocation costs more

@@ -389,10 +389,15 @@ def _flatten_words(words: jnp.ndarray, ends: jnp.ndarray, F: int):
 # host knows each row's exact payload bits before dispatching the pack
 # and falls back to the host encoder for rows that exceed this.
 PACK_W = 160768
+# Small pack variant: 80384 words = 321.5 KB/row (~2.9 bits per input
+# byte at -9) covers typical text batches; rows needing more re-pack at
+# full width via the two-shape dispatch in chain_payloads.
+PACK_W_SMALL = 80384
 
 
 def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
-                   cluster_factor: int = 8, pack_w: int = PACK_W):
+                   cluster_factor: int = 8, pack_w: int = PACK_W,
+                   _force_full_pack: bool = False):
     """Drive the full device entropy chain for one resolved BWT batch.
 
     bwt_dev: (B, N) uint8 device array of BWT rows; ns/idxs/crcs: (B,)
@@ -461,16 +466,25 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
 
     start_bit = (hdr_bits % 32).astype(np.int32)
     fits = (payload_bits + start_bit) <= 32 * pack_w
+    # the pack's output-side work scales with the static word capacity;
+    # typical text batches need < PACK_W_SMALL words/row, so pick the
+    # small variant when every row fits (exactly two compiled shapes)
+    need = np.where(fits, (payload_bits + start_bit + 31) // 32, 0)
+    pw = PACK_W_SMALL if (B and need.max() <= PACK_W_SMALL and
+                          pack_w == PACK_W and
+                          not _force_full_pack) else pack_w
+    fits = (payload_bits + start_bit) <= 32 * pw
     words, total = pack_groups(
         mtfv, nm, ninuse_dev, _put(ngroups.astype(np.int32)),
         sel, _put(codes), _put(lengths.astype(np.int32)),
-        _put(start_bit), pack_w)
+        _put(start_bit), pw)
 
     # download only the used words: device-side flat compaction at one
     # fixed shape (the full (B, pack_w) array is ~20 MB over a
     # ~20 MB/s tunnel; real payloads are ~8-11 MB)
     wcnt = np.where(fits, (payload_bits + start_bit + 31) // 32,
                     0).astype(np.int32)
+    assert not B or wcnt.max() <= pw
     ends = np.cumsum(wcnt).astype(np.int32)
     if B and ends[-1] <= FLAT_W:
         flat = _flatten_words(words, _put(ends), FLAT_W)
