@@ -141,7 +141,7 @@ def _entropy_payload(buf, span, bwt_row, bwt_idx, cluster_factor):
 
 def _host_block(buf, span, cluster_factor):
     if native.native_available():
-        brow, bidx = native.bwt(span.data)
+        brow, bidx = native.bwt(span.data, scratch=True)
     else:
         from lbzip2_tpu.ref.bwt import bwt as py_bwt
         brow, bidx = py_bwt(span.data)

@@ -235,6 +235,12 @@ class _DecArena(threading.local):
             self.ptr = np.empty(900000, np.int32)
             self.pred = np.empty(900000, np.int32)
 
+    def ensure_enc(self):
+        if getattr(self, "mtfv", None) is None:
+            self.mtfv = np.empty(900000 + 64, np.uint16)
+            self.pay_out = np.empty(900000 + 450000 + 8192, np.uint8)
+            self.bwt_out = np.empty(900008, np.uint8)
+
 
 _dec_arena = _DecArena()
 
@@ -269,8 +275,9 @@ def encode_payload(bwt_bytes: np.ndarray, cmap_bool: np.ndarray,
     lib = get_lib()
     bwt_bytes = np.ascontiguousarray(bwt_bytes, dtype=np.uint8)
     cmap = np.ascontiguousarray(cmap_bool, dtype=np.uint8)
-    mtfv = np.empty(900000 + 50 + 2, np.uint16)
-    out = np.empty(len(bwt_bytes) + (len(bwt_bytes) >> 1) + 4096, np.uint8)
+    _dec_arena.ensure_enc()
+    mtfv = _dec_arena.mtfv
+    out = _dec_arena.pay_out
     ln = lib.lbz2_encode_payload(
         bwt_bytes.ctypes.data_as(ctypes.c_void_p), bwt_bytes.size,
         cmap.ctypes.data_as(ctypes.c_void_p), bwt_idx,
@@ -309,10 +316,11 @@ def encode_payload_from_tokens(tokens: np.ndarray, cmap_bool: np.ndarray,
     lib = get_lib()
     tokens = np.ascontiguousarray(tokens, dtype=np.uint16)
     cmap = np.ascontiguousarray(cmap_bool, dtype=np.uint8)
-    mtfv = np.empty(900000 + 50 + 2, np.uint16)
+    _dec_arena.ensure_enc()
+    mtfv = _dec_arena.mtfv
     if n_bytes is None:
         n_bytes = int((tokens & 0xFF).sum())
-    out = np.empty(n_bytes + (n_bytes >> 1) + 8192, np.uint8)
+    out = _dec_arena.pay_out
     ln = lib.lbz2_encode_payload_from_tokens(
         tokens.ctypes.data_as(ctypes.c_void_p), tokens.size,
         cmap.ctypes.data_as(ctypes.c_void_p), bwt_idx,
@@ -342,15 +350,22 @@ def encode_payload_from_mtfv(mtfv: np.ndarray, cmap_bool: np.ndarray,
     return out[:ln].tobytes()
 
 
-def bwt(block: np.ndarray) -> tuple[np.ndarray, int]:
-    """SA-IS rotation BWT; identical output to the prefix-doubling oracle."""
+def bwt(block: np.ndarray, scratch: bool = False
+        ) -> tuple[np.ndarray, int]:
+    """Rotation BWT (two-stage/SA-IS); identical output to the
+    prefix-doubling oracle.  scratch=True returns a per-thread arena
+    view valid until this thread's next scratch call."""
     lib = get_lib()
     block = np.ascontiguousarray(block, dtype=np.uint8)
-    out = np.empty(block.size, np.uint8)
+    if scratch:
+        _dec_arena.ensure_enc()
+        out = _dec_arena.bwt_out
+    else:
+        out = np.empty(block.size, np.uint8)
     idx = lib.lbz2_bwt(block.ctypes.data_as(ctypes.c_void_p), block.size,
                        out.ctypes.data_as(ctypes.c_void_p))
     assert idx >= 0
-    return out, int(idx)
+    return out[:block.size], int(idx)
 
 
 def itb_bwt_rot(R: np.ndarray, want: int = -1) -> tuple[np.ndarray, int]:
