@@ -81,18 +81,14 @@ _STEALBACK_GRACE_S = float(os.environ.get("LBZ2_STEALBACK_GRACE_S",
 
 # Device entropy chain: run MTF+RLE2+EM+bit-pack on device and download
 # only compressed payloads (ops/chain.py), instead of downloading BWT
-# run tokens and running the C entropy stage on the host.  Opt-in,
-# justified by measurement (tools/tpu_chain_probe.py on v5e-1, B=8 of
-# 900k): chain_mtf 248 ms + 8 EM E-steps at 171 ms + ~55 ms round trip
-# each ≈ 2.2 s/batch of added chip time vs ~0.1 s of saved host time —
-# the BWT-tokens split wins whenever host cores aren't the bottleneck.
-# The chain is bit-exact on chip (probe verifies rows) and becomes the
-# right default when the host:chip core ratio drops.
-# Device-chain mode (entropy on chip, payload-only download) is the
-# default since the round-4 on-chip EM fold: it costs the wire only
-# the ~0.3x payload download and near-zero host time per device
-# block, which is the winning trade on a half-duplex tunnel with 2
-# host cores.  LBZ2_DEVICE_CHAIN=0 restores the token path.
+# run tokens and running the C entropy stage on the host.  Default
+# since the round-4 on-chip EM fold (ops/huffenc.py removed the 8
+# host-driven E-step round trips at ~226 ms each): the chain costs the
+# wire only the ~0.3x payload download and near-zero host time per
+# device block — the winning trade on a half-duplex tunnel with 2 host
+# cores.  LBZ2_DEVICE_CHAIN=0 restores the token path (device BWT +
+# host token entropy), which wins when host cores are plentiful and
+# the link is fast.
 _DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "1") == "1"
 
 
