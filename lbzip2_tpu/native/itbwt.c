@@ -390,26 +390,34 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       int32_t wm = 0;
       for (int32_t w = 0; w < wn; w += 2) {
         int32_t lo = W[w], hi = W[w + 1];
-        /* pack (rank-of-(j+h) + 1, j): 19 low bits of value keep key
-         * order dominant; rank -1 (reduced suffix ends) packs as 0.
-         * RK[j+h] is the one random gather here: prefetch 8 ahead
-         * (SB itself streams sequentially). */
+        /* triple step: pack (rank(j+h)+1, rank(j+2h)+1, j) — two
+         * 19-bit rank lanes + the 19-bit value fit one u64, so each
+         * round orders by prefix 3h for the same sort cost (~35%
+         * fewer rounds on repeat-heavy inputs).  Rank -1 (reduced
+         * suffix ends) packs as 0.  The RK gathers are the random
+         * accesses here: prefetch 8 ahead (SB streams sequentially);
+         * in-round refreshed ranks are fine — refinement only splits
+         * groups consistently with the prefix order. */
         for (int32_t x = lo; x <= hi; x++) {
           if (x + 8 <= hi) {
             int32_t jp = SB[x + 8];
             if (jp + h < m) __builtin_prefetch(&RK[jp + h]);
+            if (jp + 2 * h < m) __builtin_prefetch(&RK[jp + 2 * h]);
           }
           int32_t j = SB[x];
-          uint64_t key = (j + h < m) ? (uint64_t)(RK[j + h] + 1) : 0;
-          PK[x] = (key << 19) | (uint32_t)j;
+          uint64_t k1 = (j + h < m) ? (uint64_t)(RK[j + h] + 1) : 0;
+          uint64_t k2 = (j + 2 * h < m) ? (uint64_t)(RK[j + 2 * h] + 1)
+                                        : 0;
+          PK[x] = (k1 << 38) | (k2 << 19) | (uint32_t)j;
         }
         if (hi - lo > 96) {
-          /* ranks are < 2^19: two 10-bit LSD passes in L1/L2 beat
-           * the comparison sort for big groups (the page-repeat-heavy
-           * corpora that stress doubling produce many of them) */
+          /* rank lanes sit in bits 19..57: four 10-bit LSD passes in
+           * L1/L2 beat the comparison sort for big groups (the
+           * page-repeat-heavy corpora that stress doubling produce
+           * many of them) */
           int32_t s = hi - lo + 1;
           uint64_t *src = PK + lo, *dst = PT;
-          for (int pass = 0; pass < 2; pass++) {
+          for (int pass = 0; pass < 4; pass++) {
             int sh = 19 + 10 * pass;
             int32_t hst[1024];
             memset(hst, 0, sizeof(hst));
@@ -444,7 +452,7 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       }
       int32_t *t = W; W = W2; W2 = t;
       wn = wm;
-      h *= 2;
+      h *= 3;
     }
     free(W); free(W2); free(PK); free(PT);
   }
