@@ -132,35 +132,37 @@ long lbz2_rle1_collect(const uint8_t *in, long n, long mbs, long granul,
       long begin = pos;
       long used = 0;
       int full = 0;
-      /* Walk runs from pos to wend applying capacity rules. */
+      uint8_t *cm = cmaps + nblocks * 256;
+      memset(cm, 0, 256);
+      long op = out_pos;
+      /* single fused walk: apply capacity rules per run AND emit the
+       * consumed prefix's RLE1 transform (the sub-run actually
+       * consumed is re-derivable from the cursor delta: a full
+       * 259-chunk emits 4+len, any capacity cut leaves < 4 literals) */
       while (pos < wend && !full) {
         uint8_t c = in[pos];
         long j = pos;
         while (j < wend && in[j] == c) j++;
-        pos = consume_run(pos, j - pos, &used, mbs, &full);
-      }
-      /* Transform span [begin, pos) fresh. */
-      uint8_t *cm = cmaps + nblocks * 256;
-      memset(cm, 0, 256);
-      long op = out_pos;
-      long i = begin;
-      while (i < pos) {
-        uint8_t c = in[i];
-        long j = i;
-        long lim = i + 259 < pos ? i + 259 : pos;
-        while (j < lim && in[j] == c) j++;
-        long r = j - i;
-        if (op + 5 > out_cap) return -1;
-        cm[c] = 1;
-        if (r < 4) {
-          for (long k = 0; k < r; k++) out_buf[op++] = c;
-        } else {
-          out_buf[op++] = c; out_buf[op++] = c;
-          out_buf[op++] = c; out_buf[op++] = c;
-          out_buf[op++] = (uint8_t)(r - 4);
-          cm[r - 4] = 1;
+        long rl = j - pos;
+        long p2 = pos;
+        while (rl > 0 && !full) {
+          long r = rl < 259 ? rl : 259;
+          long before = p2;
+          p2 = consume_run(p2, r, &used, mbs, &full);
+          long consumed = p2 - before;
+          if (op + 5 > out_cap) return -1;
+          cm[c] = 1;
+          if (consumed == r && r >= 4) {
+            out_buf[op++] = c; out_buf[op++] = c;
+            out_buf[op++] = c; out_buf[op++] = c;
+            out_buf[op++] = (uint8_t)(r - 4);
+            cm[r - 4] = 1;
+          } else {
+            for (long k = 0; k < consumed; k++) out_buf[op++] = c;
+          }
+          rl -= r;
         }
-        i = j;
+        pos = p2;
       }
       starts[nblocks] = begin;
       ends[nblocks] = pos;
