@@ -91,6 +91,41 @@ _STEALBACK_GRACE_S = float(os.environ.get("LBZ2_STEALBACK_GRACE_S",
 # the link is fast.
 _DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "1") == "1"
 
+# Cross-pool chip gate: compress() returns as soon as the stream is
+# whole, deliberately leaving its last in-flight device batches to
+# finish (or be abandoned) in the background.  A NEW pool's device
+# pipeline must not queue behind that leftover chip work — back-to-back
+# compress() calls otherwise measure the second stream's device leg as
+# dead (the first batch lands after the stream already finished on the
+# host).  The counter tracks dispatched-but-unfetched batches globally;
+# a fresh pipeline waits (bounded — a wedged tunnel must not block
+# forever) for it to drain before its first dispatch.
+_chip_inflight = 0
+_chip_cv = threading.Condition()
+
+
+def _chip_inc():
+    global _chip_inflight
+    with _chip_cv:
+        _chip_inflight += 1
+
+
+def _chip_dec():
+    global _chip_inflight
+    with _chip_cv:
+        _chip_inflight -= 1
+        _chip_cv.notify_all()
+
+
+def _chip_wait_idle(timeout_s: float = 60.0):
+    deadline = time.time() + timeout_s
+    with _chip_cv:
+        while _chip_inflight > 0:
+            left = deadline - time.time()
+            if left <= 0:
+                return
+            _chip_cv.wait(timeout=min(1.0, left))
+
 
 def _bucket_for(n: int) -> int | None:
     """Device bucket for a block of n bytes; None -> host engine."""
@@ -332,6 +367,7 @@ class _WorkPool:
         # in-flight slot per additional device (single-chip boxes are
         # the degenerate 1-device case; a virtual CPU mesh exercises
         # the same dispatch path in tests)
+        _chip_wait_idle()  # don't queue behind a previous pool's tail
         devs = jax.local_devices()
         disp = 0
         nfetchers = 2
@@ -378,6 +414,7 @@ class _WorkPool:
                         except AttributeError:
                             pass
                 tele["dispatch_s"] = round(time.time() - t0, 3)
+                _chip_inc()
                 with self.q_lock:
                     self.fetch_pending += 1
                 self.fetch_q.put((ids, spans, outs, tele))
@@ -405,6 +442,7 @@ class _WorkPool:
                     self.fail(e)
                 return
             finally:
+                _chip_dec()
                 with self.q_lock:
                     self.fetch_pending -= 1
 
