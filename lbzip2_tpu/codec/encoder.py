@@ -102,6 +102,7 @@ _DEVICE_CHAIN = os.environ.get("LBZ2_DEVICE_CHAIN", "1") == "1"
 # forever) for it to drain before its first dispatch.
 _chip_inflight = 0
 _chip_cv = threading.Condition()
+_warmed = False  # warm_device() ran in this process
 
 
 def _chip_inc():
@@ -379,9 +380,12 @@ class _WorkPool:
                 if self.error is not None:
                     break
                 # depth 1 while cold: don't queue claims behind an
-                # unproven (possibly compiling/wedged) first batch
+                # unproven (possibly compiling/wedged) first batch.
+                # warm_device() in this process proves the programs
+                # compile and run, so skip the ramp and pipeline the
+                # second batch's upload under the first one's kernels.
                 cap = (_INFLIGHT + len(devs) - 1) \
-                    if self.stats["device_batches"] else 1
+                    if (self.stats["device_batches"] or _warmed) else 1
                 if self.fetch_pending >= cap:
                     time.sleep(0.005)
                     continue
@@ -723,6 +727,7 @@ def warm_device(rows=(_BATCH,), bucket: int = _BUCKETS[-1]) -> float:
     """
     import jax
     from lbzip2_tpu.ops.bwt2 import bwt2_bytes, bwt2_tokens
+    global _warmed
     t0 = time.time()
     for r in sorted(set(rows)):
         batch = np.zeros((r, bucket), np.uint8)
@@ -748,6 +753,7 @@ def warm_device(rows=(_BATCH,), bucket: int = _BUCKETS[-1]) -> float:
             chain_payloads(outs[0], ns, cmaps,
                            np.asarray(outs[1], np.int32), crcs,
                            _force_full_pack=True)
+    _warmed = True
     return time.time() - t0
 
 
