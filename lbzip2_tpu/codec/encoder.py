@@ -278,6 +278,12 @@ class _WorkPool:
                 lat = max(2.0, (db[-1][1] - db[0][1]) / (len(db) - 1))
                 if remaining < k + host_bps * lat:
                     return []
+            if not db and hb >= remaining:
+                # the unproven engine is being outpaced: the host has
+                # already encoded more blocks than remain — a short
+                # stream will end before the first batch lands, and
+                # every claim is steal-back work at the drain
+                return []
             if remaining < 2 * k:
                 k = 8 if remaining >= 16 else max(1, remaining // 2)
             got = self.ids[self.head:min(self.head + k, self.tail)]
@@ -398,18 +404,23 @@ class _WorkPool:
                 if built is None:
                     continue
                 ids, spans, batch, ns, ms, tele = built
-                dev = devs[disp % len(devs)]
+                # explicit placement only when there is actually more
+                # than one device: the committed-array path is the
+                # round-robin mechanism, and single-device boxes keep
+                # the default (uncommitted) fast path
+                dev = devs[disp % len(devs)] if len(devs) > 1 else None
                 tele["dev"] = disp % len(devs)
                 disp += 1
+
+                def _up(x, dev=dev):
+                    return jax.device_put(x) if dev is None else \
+                        jax.device_put(x, dev)
+
                 t0 = time.time()
                 if _DEVICE_CHAIN:
-                    outs = bwt2_bytes(jax.device_put(batch, dev),
-                                      jax.device_put(ns, dev),
-                                      jax.device_put(ms, dev))
+                    outs = bwt2_bytes(_up(batch), _up(ns), _up(ms))
                 else:
-                    outs = bwt2_tokens(jax.device_put(batch, dev),
-                                       jax.device_put(ns, dev),
-                                       jax.device_put(ms, dev))
+                    outs = bwt2_tokens(_up(batch), _up(ns), _up(ms))
                     # start d2h of everything except the raw fallback
                     # rows so the wire overlaps later batches' kernels
                     for a in (outs[0], outs[2], outs[3]):

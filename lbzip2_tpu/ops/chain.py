@@ -418,6 +418,8 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     # robins batches across all local devices)
     try:
         _dev = list(bwt_dev.devices())[0]
+        if len(jax.local_devices()) == 1:
+            _dev = None          # single device: default fast path
     except Exception:  # noqa: BLE001 — non-jax arrays in tests
         _dev = None
 
