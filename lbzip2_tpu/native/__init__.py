@@ -27,14 +27,34 @@ def _build() -> pathlib.Path | None:
     newest_src = max(p.stat().st_mtime for p in _DIR.glob("*.c"))
     if _SO.exists() and _SO.stat().st_mtime >= newest_src:
         return _SO
-    try:
-        subprocess.run(
-            ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_SO)],
-            check=True, capture_output=True)
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
-    return _SO
+    # profile-guided build when the committed profile is present
+    # (regenerate: gcc -fprofile-generate, run a compress+decompress
+    # workload, copy the .gcda here; gcc degrades gracefully on source
+    # drift via -Wno-coverage-mismatch).  Measured ~+4% compress on the
+    # branchy MTF/Huffman/sort paths.
+    prof = _DIR / "lbz2_native.gcda"
+    extra = []
+    if prof.exists():
+        pgo_dir = _DIR / ".pgo"
+        try:
+            pgo_dir.mkdir(exist_ok=True)
+            (pgo_dir / "lbz2_native.gcda").write_bytes(
+                prof.read_bytes())
+            extra = [f"-fprofile-use={pgo_dir}",
+                     "-Wno-coverage-mismatch",
+                     "-Wno-missing-profile"]
+        except OSError:
+            extra = []
+    for attempt in (extra, []):
+        try:
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
+                 *attempt, str(_SRC), "-o", str(_SO)],
+                check=True, capture_output=True)
+            return _SO
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return None
 
 
 def get_lib():
