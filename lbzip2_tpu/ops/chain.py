@@ -26,6 +26,21 @@ from lbzip2_tpu.core.constants import GROUP_SIZE, MAX_ALPHA_SIZE, MAX_TREES
 from lbzip2_tpu.ops.mtf import mtf_ranks
 from lbzip2_tpu.ops.rle2 import _rle2_batch
 
+import os as _os
+
+_PALLAS_MTF = _os.environ.get("LBZ2_PALLAS_MTF", "1") == "1"
+
+
+def _mtf_ranks_rows(syms, ns):
+    """Batched MTF ranks: the Pallas VMEM kernel on real TPU backends
+    (measured 269 vs 721 ms per 32x900k batch vs the lax.scan
+    formulation, bit-identical), the scan elsewhere (CPU tests run
+    hermetically without Mosaic)."""
+    if _PALLAS_MTF and jax.default_backend() != "cpu":
+        from lbzip2_tpu.ops.mtf_pallas import mtf_ranks_pallas
+        return jax.vmap(lambda s, n: mtf_ranks_pallas(s, n))(syms, ns)
+    return jax.vmap(lambda s, n: mtf_ranks(s, n))(syms, ns)
+
 _INF = jnp.int32(2 ** 31 - 1)
 WIDTH = MAX_ALPHA_SIZE + 1  # 259: symbols 0..257 + per-row dummy `as`
 
@@ -90,7 +105,7 @@ def _chain_mtf(bwt: jnp.ndarray, ns: jnp.ndarray, cmaps: jnp.ndarray):
     B, N = bwt.shape
     syms = _compact_syms(bwt, cmaps)
     ninuse = jnp.sum(cmaps.astype(jnp.int32), axis=1)
-    ranks = jax.vmap(lambda s, n: mtf_ranks(s, n))(syms, ns)
+    ranks = _mtf_ranks_rows(syms, ns)
     mtfv, nm = _rle2_batch(ranks, ns, ninuse)
     lanes = jnp.arange(N + 1, dtype=jnp.int32)[None]
     hist = _hist_rows(mtfv, lanes < nm[:, None], WIDTH)
@@ -352,7 +367,7 @@ def _chain_mtf2(bwt: jnp.ndarray, ns: jnp.ndarray, cmaps: jnp.ndarray):
     B, N = bwt.shape
     syms = _compact_syms(bwt, cmaps)
     ninuse = jnp.sum(cmaps.astype(jnp.int32), axis=1)
-    ranks = jax.vmap(lambda s, n: mtf_ranks(s, n))(syms, ns)
+    ranks = _mtf_ranks_rows(syms, ns)
     mtfv, nm = _rle2_batch(ranks, ns, ninuse)
     hist_g, _, ngroups = _group_hist(mtfv, nm, ninuse)
     hist = jnp.sum(hist_g, axis=1).astype(jnp.int32)
