@@ -362,19 +362,28 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
     uint8_t *sp = selectors;
     for (long g = 0; g < ns; g++) {
       const uint16_t *gs = mtfv + g * GROUP_SIZE;
-      /* two independent accumulator pairs halve the add-chain depth
+      /* independent accumulator pairs cut the add-chain depth
        * (lane sums stay carry-free: <= 50*255 < 2^16 per lane) */
       uint64_t a0 = 0, a1 = 0, b0 = 0, b1 = 0;
-      for (int i = 0; i < GROUP_SIZE; i += 2) {
+      uint64_t c0 = 0, c1 = 0, d0 = 0, d1 = 0;
+      for (int i = 0; i < GROUP_SIZE - 2; i += 4) {   /* 48 = 12x4 */
         const uint64_t *lp = lenP[gs[i]];
         const uint64_t *lq = lenP[gs[i + 1]];
-        a0 += lp[0];
-        a1 += lp[1];
-        b0 += lq[0];
-        b1 += lq[1];
+        const uint64_t *lr = lenP[gs[i + 2]];
+        const uint64_t *ls = lenP[gs[i + 3]];
+        a0 += lp[0]; a1 += lp[1];
+        b0 += lq[0]; b1 += lq[1];
+        c0 += lr[0]; c1 += lr[1];
+        d0 += ls[0]; d1 += ls[1];
       }
-      a0 += b0;
-      a1 += b1;
+      {                                               /* tail 48, 49 */
+        const uint64_t *lp = lenP[gs[GROUP_SIZE - 2]];
+        const uint64_t *lq = lenP[gs[GROUP_SIZE - 1]];
+        a0 += lp[0]; a1 += lp[1];
+        b0 += lq[0]; b1 += lq[1];
+      }
+      a0 += b0 + c0 + d0;
+      a1 += b1 + c1 + d1;
       uint16_t acc[8] = {
         (uint16_t)a0, (uint16_t)(a0 >> 16), (uint16_t)(a0 >> 32),
         (uint16_t)(a0 >> 48), (uint16_t)a1, (uint16_t)(a1 >> 16),
