@@ -455,6 +455,11 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     nt_arr = np.array([num_trees_for(int(v)) for v in nm_h], np.int32)
     ngroups = (nm_h + GROUP_SIZE - 1) // GROUP_SIZE
 
+    # hist rows carry padding counts at lane `as` (group padding in
+    # _group_hist); zero them so the initial-class split sees exactly
+    # the spec's unpadded frequencies (nz_total / prefix sums)
+    lane = np.arange(WIDTH, dtype=np.int32)[None]
+    hist_h = np.where(lane < as_arr[:, None], hist_h, 0)
     lengths = np.ones((B, MAX_TREES, WIDTH), np.uint8)
     for b in range(B):
         lengths[b] = generate_initial_trees(
