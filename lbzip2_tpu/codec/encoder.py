@@ -114,16 +114,25 @@ def _chip_inc():
 def _chip_dec():
     global _chip_inflight
     with _chip_cv:
-        _chip_inflight -= 1
+        # clamp: _chip_wait_idle resets a timed-out (presumed wedged)
+        # counter to 0; a straggler batch completing after that reset
+        # must not drive the counter negative
+        _chip_inflight = max(0, _chip_inflight - 1)
         _chip_cv.notify_all()
 
 
 def _chip_wait_idle(timeout_s: float = 60.0):
+    global _chip_inflight
     deadline = time.time() + timeout_s
     with _chip_cv:
         while _chip_inflight > 0:
             left = deadline - time.time()
             if left <= 0:
+                # the previous pool's in-flight work never completed
+                # within the bound (wedged tunnel RPC or a fetch worker
+                # that died with items still queued).  Reset so ONE
+                # stall costs 60 s, not every subsequent compress().
+                _chip_inflight = 0
                 return
             _chip_cv.wait(timeout=min(1.0, left))
 
@@ -439,8 +448,30 @@ class _WorkPool:
                                                   self.complete):
                 time.sleep(0.05)
         finally:
+            if self.abandoned or self.error is not None:
+                # both workers may be wedged inside a tunnel RPC and
+                # never consume the queued tail — release it here
+                self._drain_fetch_q()
             for _ in range(nfetchers):
                 self.fetch_q.put(None)
+
+    def _drain_fetch_q(self):
+        """Release the global in-flight accounting for dispatched
+        batches nobody will consume (worker died / pool failed), so
+        the counter can't leak and stall the NEXT pool's first
+        dispatch in _chip_wait_idle.  Stops at the first sentinel and
+        re-queues it for any still-alive sibling worker."""
+        while True:
+            try:
+                item = self.fetch_q.get_nowait()
+            except queue.Empty:
+                return
+            if item is None:
+                self.fetch_q.put(None)
+                return
+            _chip_dec()
+            with self.q_lock:
+                self.fetch_pending -= 1
 
     def _fetch_worker(self):
         while True:
@@ -455,6 +486,7 @@ class _WorkPool:
             except BaseException as e:  # noqa: BLE001
                 if not (self.abandoned or self.complete):
                     self.fail(e)
+                self._drain_fetch_q()
                 return
             finally:
                 _chip_dec()
@@ -530,9 +562,11 @@ class _WorkPool:
                 [cmaps, np.repeat(cmaps[:1], B - len(spans), axis=0)])
             crcs = np.concatenate(
                 [crcs, np.repeat(crcs[:1], B - len(spans))])
+        stage_times: dict = {}
         payloads = chain_payloads(bwt_dev, ns, cmaps,
                                   np.asarray(primary, np.int32), crcs,
-                                  self.cf)
+                                  self.cf, times=stage_times)
+        tele["chain_stages"] = stage_times
         fresh = stale = 0
         for row, (i, span) in enumerate(zip(ids, spans)):
             if self.is_stale(i):

@@ -412,7 +412,8 @@ PACK_W_SMALL = 80384
 
 def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
                    cluster_factor: int = 8, pack_w: int = PACK_W,
-                   _force_full_pack: bool = False):
+                   _force_full_pack: bool = False,
+                   times: dict | None = None):
     """Drive the full device entropy chain for one resolved BWT batch.
 
     bwt_dev: (B, N) uint8 device array of BWT rows; ns/idxs/crcs: (B,)
@@ -423,11 +424,21 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     Device: MTF + RLE2 + EM E-steps + group bit-pack.  Host (C): EM
     M-steps, final code assignment, header build, stream splice.
     """
+    import time as _time
+
     import numpy as np
 
     from lbzip2_tpu import native
     from lbzip2_tpu.ref.huffman import generate_initial_trees, num_trees_for
 
+    _t = _time.time
+
+    def _mark(key, t0):
+        if times is not None:
+            times[key] = round(_t() - t0, 3)
+        return _t()
+
+    t0 = _t()
     B, N = bwt_dev.shape
     # aux uploads must land on bwt_dev's device (the engine round-
     # robins batches across all local devices)
@@ -448,8 +459,10 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
 
     mtfv, nm, hist, hist_g, ngroups_dev = chain_mtf2(
         bwt_dev, ns_dev, cm_dev)
+    t0 = _mark("dispatch_mtf", t0)
     nm_h = np.asarray(nm)
     hist_h = np.asarray(hist)
+    t0 = _mark("wait_mtf", t0)  # blocks on BWT+MTF device kernels
     ninuse = cmaps_u8.sum(axis=1, dtype=np.int32)
     as_arr = ninuse + 2
     nt_arr = np.array([num_trees_for(int(v)) for v in nm_h], np.int32)
@@ -474,17 +487,20 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     # over the tunnel (ops/huffenc.py; bit-identical to the
     # native/huffman2.c M-step by differential test)
     from lbzip2_tpu.ops.huffenc import em_chain
+    t0 = _mark("init_trees", t0)
     sel, freqs, lengths_dev, _ = em_chain(
         hist_g, ngroups_dev, nt_dev, _put(as_arr.astype(np.int32)),
         _put(lengths.astype(np.int32)), cluster_factor)
+    t0 = _mark("dispatch_em", t0)
     freqs_h = np.asarray(freqs).astype(np.uint32)
     lengths = np.ascontiguousarray(
         np.asarray(lengths_dev), np.uint8).reshape(B, MAX_TREES, WIDTH)
-
     sel_h = np.asarray(sel.astype(jnp.uint8))
+    t0 = _mark("wait_em", t0)  # blocks on the on-chip EM loop
     codes, hdr, hdr_bits, payload_bits = native.chain_finish(
         sel_h, ngroups, freqs_h, as_arr, nt_arr, cmaps_u8,
         np.asarray(idxs, np.int32), np.asarray(crcs, np.uint32), lengths)
+    t0 = _mark("finish_c", t0)
 
     start_bit = (hdr_bits % 32).astype(np.int32)
     fits = (payload_bits + start_bit) <= 32 * pack_w
@@ -500,6 +516,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
         mtfv, nm, ninuse_dev, _put(ngroups.astype(np.int32)),
         sel, _put(codes), _put(lengths.astype(np.int32)),
         _put(start_bit), pw)
+    t0 = _mark("dispatch_pack", t0)
 
     # download only the used words: device-side flat compaction at one
     # fixed shape (the full (B, pack_w) array is ~20 MB over a
@@ -515,6 +532,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     else:
         words_h = np.asarray(words)
         rows = [words_h[b, :wcnt[b]] for b in range(B)]
+    t0 = _mark("wait_pack", t0)  # blocks on pack kernel + download
 
     out = []
     for b in range(B):
@@ -529,4 +547,5 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
         pb = rows[b].astype(">u4").view(np.uint8)
         buf[4 * w0:] |= pb[:total_bytes - 4 * w0]
         out.append(buf.tobytes())
+    _mark("splice", t0)
     return out
