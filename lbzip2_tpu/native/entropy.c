@@ -327,16 +327,16 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
   initial_classes(lengths, mtf_freq, as, nm, nt);
   ENTT(2)
 
-  /* EM iterations.  E-step: per-group TRUE bit costs per tree from a
-   * symbol-major length table of two uint64 words with 16-bit lanes
-   * (4 trees each; a lane's sum is <= 50*255 so lanes never carry into
-   * each other — two plain 64-bit adds per symbol, two independent
-   * dependency chains).  The true sums are then folded through the
-   * spec's packed 10-bit-lane carry chain before comparison (cost
-   * lanes wrap mod 1024 and overflow carries into the next tree's
-   * lane — reference semantics, src/encode.c:847-877; summation
-   * commutes, so folding after the group sum is bit-identical to
-   * folding per symbol). */
+  /* EM iterations.  E-step: per-group per-tree bit costs from a
+   * symbol-major table of ONE uint64 per symbol holding all six
+   * trees' lengths in base-1024 lanes — the spec's own packed layout
+   * (cost lanes wrap mod 1024 and lane overflow carries into the
+   * next tree's lane, reference semantics src/encode.c:847-877).
+   * uint64 addition is associative and commutative mod 2^64, so the
+   * group total — including every cross-lane carry — is identical no
+   * matter how the 50 adds are ordered or split across independent
+   * accumulators; four parallel chains hide the load latency while
+   * costing half the adds of a carry-free 16-bit-lane layout. */
   /* Fixed-point cutoff: if an E-step reproduces the previous
    * iteration's selectors, freqs are identical too, the M-step
    * reproduces the same lengths, and every remaining iteration is the
@@ -345,57 +345,34 @@ long lbz2_encode_payload_from_mtfv(uint16_t *mtfv, long nm,
    * stop.  EM typically converges in 3-5 of the 8 iterations. */
   static __thread uint8_t prev_sel[EM_MAX_GROUPS + 1];
   for (int iter = 0; iter < cluster_factor; iter++) {
-    static __thread uint64_t lenP[MAX_ALPHA + 1][2];
+    static __thread uint64_t lenP[MAX_ALPHA + 1];
     for (int v = 0; v <= as; v++) {
-      uint64_t a = 0, b = 0;
-      for (int t = 0; t < 4; t++) {
-        a |= (uint64_t)((v < as && t < MAX_TREES) ? lengths[t][v] : 0)
-             << (16 * t);
-        b |= (uint64_t)((v < as && t + 4 < MAX_TREES)
-                        ? lengths[t + 4][v] : 0) << (16 * t);
-      }
-      lenP[v][0] = a;
-      lenP[v][1] = b;
+      uint64_t a = 0;
+      if (v < as)
+        for (int t = 0; t < MAX_TREES; t++)
+          a += (uint64_t)lengths[t][v] << (10 * t);
+      lenP[v] = a;
     }
 
     memset(freqs, 0, (size_t)nt * sizeof(freqs[0]));
     uint8_t *sp = selectors;
     for (long g = 0; g < ns; g++) {
       const uint16_t *gs = mtfv + g * GROUP_SIZE;
-      /* independent accumulator pairs cut the add-chain depth
-       * (lane sums stay carry-free: <= 50*255 < 2^16 per lane) */
-      uint64_t a0 = 0, a1 = 0, b0 = 0, b1 = 0;
-      uint64_t c0 = 0, c1 = 0, d0 = 0, d1 = 0;
+      uint64_t a = 0, b = 0, c = 0, d = 0;
       for (int i = 0; i < GROUP_SIZE - 2; i += 4) {   /* 48 = 12x4 */
-        const uint64_t *lp = lenP[gs[i]];
-        const uint64_t *lq = lenP[gs[i + 1]];
-        const uint64_t *lr = lenP[gs[i + 2]];
-        const uint64_t *ls = lenP[gs[i + 3]];
-        a0 += lp[0]; a1 += lp[1];
-        b0 += lq[0]; b1 += lq[1];
-        c0 += lr[0]; c1 += lr[1];
-        d0 += ls[0]; d1 += ls[1];
+        a += lenP[gs[i]];
+        b += lenP[gs[i + 1]];
+        c += lenP[gs[i + 2]];
+        d += lenP[gs[i + 3]];
       }
-      {                                               /* tail 48, 49 */
-        const uint64_t *lp = lenP[gs[GROUP_SIZE - 2]];
-        const uint64_t *lq = lenP[gs[GROUP_SIZE - 1]];
-        a0 += lp[0]; a1 += lp[1];
-        b0 += lq[0]; b1 += lq[1];
-      }
-      a0 += b0 + c0 + d0;
-      a1 += b1 + c1 + d1;
-      uint16_t acc[8] = {
-        (uint16_t)a0, (uint16_t)(a0 >> 16), (uint16_t)(a0 >> 32),
-        (uint16_t)(a0 >> 48), (uint16_t)a1, (uint16_t)(a1 >> 16),
-        (uint16_t)(a1 >> 32), (uint16_t)(a1 >> 48)};
-      uint32_t carry = 0;
+      a += lenP[gs[GROUP_SIZE - 2]];                  /* tail 48, 49 */
+      b += lenP[gs[GROUP_SIZE - 1]];
+      a += b + c + d;
       unsigned bc = 0x400;
       int bt = 0;
       for (int t = 0; t < nt; t++) {
-        uint32_t lane = acc[t] + carry;
-        carry = lane >> 10;
-        unsigned c = lane & 0x3FF;
-        if (t == 0 || c < bc) { bc = c; bt = t; }
+        unsigned cst = (unsigned)(a >> (10 * t)) & 0x3FF;
+        if (t == 0 || cst < bc) { bc = cst; bt = t; }
       }
       *sp++ = (uint8_t)bt;
       for (int i = 0; i < GROUP_SIZE; i++) freqs[bt][gs[i]]++;
