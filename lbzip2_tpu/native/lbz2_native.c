@@ -139,12 +139,42 @@ long lbz2_rle1_collect(const uint8_t *in, long n, long mbs, long granul,
       /* single fused walk: apply capacity rules per run AND emit the
        * consumed prefix's RLE1 transform (the sub-run actually
        * consumed is re-derivable from the cursor delta: a full
-       * 259-chunk emits 4+len, any capacity cut leaves < 4 literals) */
+       * 259-chunk emits 4+len, any capacity cut leaves < 4 literals).
+       *
+       * Literal sprint: runs shorter than 4 are emitted verbatim and
+       * consume capacity 1:1 whether walked run-by-run or in bulk, so
+       * scan ahead to the next >=4 run (one compare per byte on the
+       * no-run fast path), mark cmap bits in the same pass, and
+       * memcpy the whole stretch. */
       while (pos < wend && !full) {
-        uint8_t c = in[pos];
+        /* scan bounded by remaining capacity so every byte marked in
+         * the cmap is a byte this block actually takes */
+        long cap = mbs - used;
+        long jmax = pos + (cap < wend - pos ? cap : wend - pos);
         long j = pos;
-        while (j < wend && in[j] == c) j++;
-        long rl = j - pos;
+        while (j < jmax) {
+          uint8_t c0 = in[j];
+          if (j + 3 < wend && c0 == in[j + 1] && c0 == in[j + 2] &&
+              c0 == in[j + 3])
+            break;
+          cm[c0] = 1;
+          j++;
+        }
+        if (j > pos) {              /* literal stretch [pos, j) */
+          long take = j - pos;
+          if (op + take > out_cap) return -1;
+          memcpy(out_buf + op, in + pos, (size_t)take);
+          op += take;
+          used += take;
+          pos += take;
+          if (used == mbs) { full = 1; break; }
+          if (pos >= wend) break;
+        }
+        /* run of >= 4 at pos */
+        uint8_t c = in[pos];
+        long k = pos + 4;
+        while (k < wend && in[k] == c) k++;
+        long rl = k - pos;
         long p2 = pos;
         while (rl > 0 && !full) {
           long r = rl < 259 ? rl : 259;
@@ -159,7 +189,7 @@ long lbz2_rle1_collect(const uint8_t *in, long n, long mbs, long granul,
             out_buf[op++] = (uint8_t)(r - 4);
             cm[r - 4] = 1;
           } else {
-            for (long k = 0; k < consumed; k++) out_buf[op++] = c;
+            for (long m = 0; m < consumed; m++) out_buf[op++] = c;
           }
           rl -= r;
         }

@@ -91,13 +91,17 @@ def main():
     _ = jax.device_put(jnp.asarray(lengths)).block_until_ready()
     print(f"lengths upload: {(time.time()-t0)*1000:.1f} ms")
 
-    # full EM + finish + pack, end to end
-    t0 = time.time()
-    payloads = chain.chain_payloads(d, ns, cmaps, idxs, crcs)
-    dt = time.time() - t0
-    okn = sum(p is not None for p in payloads)
-    print(f"chain_payloads end-to-end: {dt*1000:.0f} ms "
-          f"({B*0.9/dt:.1f} MB/s for this stage), {okn}/{B} packed")
+    # full EM + finish + pack, end to end: cold (compiles) then warm
+    for tag in ("cold", "warm"):
+        stages = {}
+        t0 = time.time()
+        payloads = chain.chain_payloads(d, ns, cmaps, idxs, crcs,
+                                        times=stages)
+        dt = time.time() - t0
+        okn = sum(p is not None for p in payloads)
+        print(f"chain_payloads {tag}: {dt*1000:.0f} ms "
+              f"({B*0.9/dt:.1f} MB/s for this stage), {okn}/{B} packed")
+        print(f"  stages: {stages}")
     # verify
     for b in range(min(2, B)):
         want = native.encode_payload(bwts[b, :ns[b]], cmaps[b],
