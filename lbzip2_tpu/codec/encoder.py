@@ -79,6 +79,14 @@ _STEALBACK = os.environ.get("LBZ2_STEALBACK", "1") != "0"
 _STEALBACK_GRACE_S = float(os.environ.get("LBZ2_STEALBACK_GRACE_S",
                                           "10"))
 
+# Drain guard (take_head): stop device claims when the host pool would
+# finish the remaining queue faster than one device batch round trip.
+# The latency estimate is fitted from observed batch completions but
+# never below this floor — a couple of freak fast batches must not
+# talk the guard into claiming at the drain.
+_DRAIN_LAT_FLOOR_S = float(os.environ.get("LBZ2_DRAIN_LAT_FLOOR_S",
+                                          "2.0"))
+
 # Device entropy chain: run MTF+RLE2+EM+bit-pack on device and download
 # only compressed payloads (ops/chain.py), instead of downloading BWT
 # run tokens and running the C entropy stage on the host.  Default
@@ -284,7 +292,8 @@ class _WorkPool:
             db = self.stats["device_batches"]
             if hb and len(db) >= 2 and el > 0:
                 host_bps = hb / el                       # blocks/s
-                lat = max(2.0, (db[-1][1] - db[0][1]) / (len(db) - 1))
+                lat = max(_DRAIN_LAT_FLOOR_S,
+                          (db[-1][1] - db[0][1]) / (len(db) - 1))
                 if remaining < k + host_bps * lat:
                     return []
             if not db and hb >= remaining:
@@ -802,15 +811,16 @@ def warm_device(rows=(_BATCH,), bucket: int = _BUCKETS[-1]) -> float:
     return time.time() - t0
 
 
-def compress(data: bytes | np.ndarray, level: int = 9,
-             cluster_factor: int = CLUSTER_FACTOR,
-             sequential_split: bool = False,
-             entropy_workers: int | None = None,
-             use_device: bool | None = None) -> bytes:
-    """Compress into a .bz2 stream using the hybrid device+host pool.
-
-    Bit-identical to ref.encoder.compress (and the reference binary).
-    """
+def compress_blocks_hybrid(data: bytes | np.ndarray, level: int = 9,
+                           cluster_factor: int = CLUSTER_FACTOR,
+                           sequential_split: bool = False,
+                           entropy_workers: int | None = None,
+                           use_device: bool | None = None
+                           ) -> tuple[list[bytes], list[int]]:
+    """Encode all blocks with the hybrid device+host pool; returns
+    (payloads, stored block CRCs) in block order — the building block
+    for both the stream assembler below and the multihost driver
+    (each process runs its own engine over its shard)."""
     assert 1 <= level <= 9
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.ascontiguousarray(
@@ -833,9 +843,29 @@ def compress(data: bytes | np.ndarray, level: int = 9,
                      use_device)
     global last_stats
     last_stats = pool.stats  # telemetry: engine split of the last call
+    payloads = []
+    crcs = []
+    for payload, crc_stored in pool.run():
+        payloads.append(payload)
+        crcs.append(crc_stored)
+    return payloads, crcs
+
+
+def compress(data: bytes | np.ndarray, level: int = 9,
+             cluster_factor: int = CLUSTER_FACTOR,
+             sequential_split: bool = False,
+             entropy_workers: int | None = None,
+             use_device: bool | None = None) -> bytes:
+    """Compress into a .bz2 stream using the hybrid device+host pool.
+
+    Bit-identical to ref.encoder.compress (and the reference binary).
+    """
+    payloads, crcs = compress_blocks_hybrid(
+        data, level, cluster_factor, sequential_split, entropy_workers,
+        use_device)
     parts = [bytes([0x42, 0x5A, 0x68, 0x30 + level])]
     combined = 0
-    for payload, crc_stored in pool.run():
+    for payload, crc_stored in zip(payloads, crcs):
         parts.append(payload)
         combined = crc32.combine_crc(combined, crc_stored)
 

@@ -376,16 +376,19 @@ def _chain_mtf2(bwt: jnp.ndarray, ns: jnp.ndarray, cmaps: jnp.ndarray):
 
 chain_mtf2 = jax.jit(_chain_mtf2)
 
-# Fixed flat-download capacity: one static shape so the tunnel never
-# sees a fresh compile mid-stream.  3.5M words = 14 MB covers a whole
-# 32x900k batch at ~3.9 bits/input byte; batches that exceed it fall
-# back to downloading the full words array.
+# Flat-download chunking: the compacted payload comes down in fixed
+# 2 MB chunks (ONE compiled shape regardless of batch fill), so the
+# wire moves ceil(real_payload / 2 MB) chunks instead of a fixed
+# worst-case array.  3.5M words = 14 MB remains the capacity bound
+# (~3.9 bits/input byte on a full 32x900k batch).
 FLAT_W = 3_500_032
+FLAT_CHUNK = 524_288  # words = 2 MB per download chunk
 
 
 @functools.partial(jax.jit, static_argnames=("F",))
-def _flatten_words(words: jnp.ndarray, ends: jnp.ndarray, F: int):
-    """Compact per-row payload words into one flat (F,) array.
+def _flatten_words(words: jnp.ndarray, ends: jnp.ndarray, F: int,
+                   base: jnp.ndarray | int = 0):
+    """Compact per-row payload words into flat slots [base, base+F).
 
     ends: (B,) inclusive prefix sum of per-row word counts (int32).
     Flat slot f belongs to row r = searchsorted(ends, f, 'right') at
@@ -393,12 +396,28 @@ def _flatten_words(words: jnp.ndarray, ends: jnp.ndarray, F: int):
     only the real payload bytes over the wire instead of B * PACK_W.
     """
     B, W = words.shape
-    f = jnp.arange(F, dtype=jnp.int32)
+    f = jnp.arange(F, dtype=jnp.int32) + jnp.asarray(base, jnp.int32)
     r = jnp.searchsorted(ends, f, side="right").astype(jnp.int32)
     rc = jnp.minimum(r, B - 1)
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     idx = jnp.clip(f - starts[rc], 0, W - 1)
     return jnp.where(r < B, words[rc, idx], 0)
+
+
+def _flatten_download(words, ends_dev, needed: int):
+    """Device-compact and download only ceil(needed/FLAT_CHUNK) fixed-
+    size chunks; returns a host uint32 array of >= needed words."""
+    import numpy as np
+    nch = (needed + FLAT_CHUNK - 1) // FLAT_CHUNK
+    chunks = [_flatten_words(words, ends_dev, FLAT_CHUNK,
+                             i * FLAT_CHUNK) for i in range(nch)]
+    for c in chunks:
+        try:
+            c.copy_to_host_async()
+        except AttributeError:
+            pass
+    return np.concatenate([np.asarray(c) for c in chunks]) \
+        if chunks else np.zeros(0, np.uint32)
 
 # Default payload word capacity per row: 5.7 bits/symbol average.  The
 # host knows each row's exact payload bits before dispatching the pack
@@ -413,7 +432,8 @@ PACK_W_SMALL = 80384
 def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
                    cluster_factor: int = 8, pack_w: int = PACK_W,
                    _force_full_pack: bool = False,
-                   times: dict | None = None):
+                   times: dict | None = None,
+                   mesh_axis=None):
     """Drive the full device entropy chain for one resolved BWT batch.
 
     bwt_dev: (B, N) uint8 device array of BWT rows; ns/idxs/crcs: (B,)
@@ -440,17 +460,29 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
 
     t0 = _t()
     B, N = bwt_dev.shape
-    # aux uploads must land on bwt_dev's device (the engine round-
-    # robins batches across all local devices)
-    try:
-        _dev = list(bwt_dev.devices())[0]
-        if len(jax.local_devices()) == 1:
-            _dev = None          # single device: default fast path
-    except Exception:  # noqa: BLE001 — non-jax arrays in tests
-        _dev = None
+    if mesh_axis is not None:
+        # sharded mode (multi-chip dryrun / pod): batch-major aux
+        # arrays follow bwt_dev's block sharding so every chain stage
+        # (chain_mtf2, em_chain, pack_groups) partitions per device
+        from jax.sharding import NamedSharding, PartitionSpec
+        mesh, axis = mesh_axis
 
-    def _put(x):
-        return jax.device_put(x, _dev)
+        def _put(x):
+            x = jnp.asarray(x)
+            spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+    else:
+        # aux uploads must land on bwt_dev's device (the engine round-
+        # robins batches across all local devices)
+        try:
+            _dev = list(bwt_dev.devices())[0]
+            if len(jax.local_devices()) == 1:
+                _dev = None      # single device: default fast path
+        except Exception:  # noqa: BLE001 — non-jax arrays in tests
+            _dev = None
+
+        def _put(x):
+            return jax.device_put(x, _dev)
 
     ns = np.asarray(ns, np.int32)
     cmaps_u8 = np.ascontiguousarray(cmaps, np.uint8)
@@ -526,8 +558,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     assert not B or wcnt.max() <= pw
     ends = np.cumsum(wcnt).astype(np.int32)
     if B and ends[-1] <= FLAT_W:
-        flat = _flatten_words(words, _put(ends), FLAT_W)
-        flat_h = np.asarray(flat)
+        flat_h = _flatten_download(words, _put(ends), int(ends[-1]))
         rows = [flat_h[(ends[b] - wcnt[b]):ends[b]] for b in range(B)]
     else:
         words_h = np.asarray(words)

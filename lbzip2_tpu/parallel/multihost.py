@@ -59,17 +59,33 @@ def shard_bounds(total_size: int, level: int, num_processes: int,
 
 
 def compress_multihost(shard: bytes | np.ndarray, level: int = 9,
-                       n_workers: int | None = None) -> bytes | None:
+                       n_workers: int | None = None,
+                       engine: str | None = None) -> bytes | None:
     """Compress this host's (window-aligned) shard and reassemble on
-    host 0.  Returns the full stream on process 0, None elsewhere."""
+    host 0.  Returns the full stream on process 0, None elsewhere.
+
+    engine: "hybrid" drives the production device+host pool
+    (codec.encoder) per process — each host's engine round-robins its
+    local devices; "host" uses the C-only pipeline; None (default)
+    reads LBZ2_MULTIHOST_ENGINE (default "hybrid" — the pod-scale
+    composition the reference's one-machine pool cannot express)."""
     import jax
     from jax.experimental import multihost_utils
 
     from lbzip2_tpu.parallel.encode import compress_blocks
 
+    if engine is None:
+        engine = os.environ.get("LBZ2_MULTIHOST_ENGINE", "hybrid")
+
     buf = np.frombuffer(bytes(shard), np.uint8) if not isinstance(
         shard, np.ndarray) else shard
-    block_payloads, crcs = compress_blocks(buf, level, n_workers=n_workers)
+    if engine == "hybrid":
+        from lbzip2_tpu.codec.encoder import compress_blocks_hybrid
+        block_payloads, crcs = compress_blocks_hybrid(
+            buf, level, entropy_workers=n_workers)
+    else:
+        block_payloads, crcs = compress_blocks(buf, level,
+                                               n_workers=n_workers)
     payload = b"".join(block_payloads)
 
     nproc = jax.process_count()
