@@ -41,6 +41,18 @@ static double itbp_now(void){struct timespec ts;clock_gettime(CLOCK_MONOTONIC,&t
 #define ITBT(k)
 #endif
 
+/* tuning knobs (overridable with -D for experiments; defaults are the
+ * measured best on the dev box) */
+#ifndef ITB_INS_THRESH
+#define ITB_INS_THRESH 10
+#endif
+#ifndef ITB_PREFETCH
+#define ITB_PREFETCH 8
+#endif
+#ifndef ITB_RADIX_MIN
+#define ITB_RADIX_MIN 96
+#endif
+
 /* ---- substring machinery -------------------------------------------- */
 
 typedef struct {
@@ -188,7 +200,7 @@ static void itb_mkqsort(const itb_ctx *c, int32_t *A, int32_t cnt,
  * bits for stage 1's five 9-bit symbol lanes — 45+20 would overflow
  * the u64 and drop the top bit of the depth-2 symbol for 0xFF) */
 static void itb_u64sort(uint64_t *a, int32_t lo, int32_t hi) {
-  while (hi - lo > 10) {
+  while (hi - lo > ITB_INS_THRESH) {
     uint64_t x = a[lo], y = a[(lo + hi) / 2], z = a[hi];
     uint64_t kp = x < y ? (y < z ? y : (x < z ? z : x))
                         : (x < z ? x : (y < z ? z : y));
@@ -399,8 +411,8 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
          * in-round refreshed ranks are fine — refinement only splits
          * groups consistently with the prefix order. */
         for (int32_t x = lo; x <= hi; x++) {
-          if (x + 8 <= hi) {
-            int32_t jp = SB[x + 8];
+          if (x + ITB_PREFETCH <= hi) {
+            int32_t jp = SB[x + ITB_PREFETCH];
             if (jp + h < m) __builtin_prefetch(&RK[jp + h]);
             if (jp + 2 * h < m) __builtin_prefetch(&RK[jp + 2 * h]);
           }
@@ -410,7 +422,7 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
                                         : 0;
           PK[x] = (k1 << 38) | (k2 << 19) | (uint32_t)j;
         }
-        if (hi - lo > 96) {
+        if (hi - lo > ITB_RADIX_MIN) {
           /* rank lanes sit in bits 19..57: four 10-bit LSD passes in
            * L1/L2 beat the comparison sort for big groups (the
            * page-repeat-heavy corpora that stress doubling produce

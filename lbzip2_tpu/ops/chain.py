@@ -404,13 +404,15 @@ def _flatten_words(words: jnp.ndarray, ends: jnp.ndarray, F: int,
     return jnp.where(r < B, words[rc, idx], 0)
 
 
-def _flatten_download(words, ends_dev, needed: int):
+def _flatten_download(words, ends_dev, needed: int, wait=None):
     """Device-compact and download only ceil(needed/FLAT_CHUNK) fixed-
     size chunks; returns a host uint32 array of >= needed words."""
     import numpy as np
     nch = (needed + FLAT_CHUNK - 1) // FLAT_CHUNK
     chunks = [_flatten_words(words, ends_dev, FLAT_CHUNK,
                              i * FLAT_CHUNK) for i in range(nch)]
+    if wait is not None:
+        wait(*chunks)
     for c in chunks:
         try:
             c.copy_to_host_async()
@@ -458,6 +460,19 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
             times[key] = round(_t() - t0, 3)
         return _t()
 
+    def _nap_ready(*arrs):
+        """Poll until device arrays are ready before np.asarray: a
+        blocking wait inside the runtime spins a CPU core for the
+        whole kernel latency, which the 2-core host can't spare while
+        its own entropy workers run (same discipline as the engine's
+        _wait_ready)."""
+        for a in arrs:
+            try:
+                while not a.is_ready():
+                    _time.sleep(0.02)
+            except AttributeError:
+                pass
+
     t0 = _t()
     B, N = bwt_dev.shape
     if mesh_axis is not None:
@@ -492,6 +507,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     mtfv, nm, hist, hist_g, ngroups_dev = chain_mtf2(
         bwt_dev, ns_dev, cm_dev)
     t0 = _mark("dispatch_mtf", t0)
+    _nap_ready(nm, hist)
     nm_h = np.asarray(nm)
     hist_h = np.asarray(hist)
     t0 = _mark("wait_mtf", t0)  # blocks on BWT+MTF device kernels
@@ -524,6 +540,7 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
         hist_g, ngroups_dev, nt_dev, _put(as_arr.astype(np.int32)),
         _put(lengths.astype(np.int32)), cluster_factor)
     t0 = _mark("dispatch_em", t0)
+    _nap_ready(freqs, lengths_dev, sel)
     freqs_h = np.asarray(freqs).astype(np.uint32)
     lengths = np.ascontiguousarray(
         np.asarray(lengths_dev), np.uint8).reshape(B, MAX_TREES, WIDTH)
@@ -558,9 +575,11 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     assert not B or wcnt.max() <= pw
     ends = np.cumsum(wcnt).astype(np.int32)
     if B and ends[-1] <= FLAT_W:
-        flat_h = _flatten_download(words, _put(ends), int(ends[-1]))
+        flat_h = _flatten_download(words, _put(ends), int(ends[-1]),
+                                   wait=_nap_ready)
         rows = [flat_h[(ends[b] - wcnt[b]):ends[b]] for b in range(B)]
     else:
+        _nap_ready(words)
         words_h = np.asarray(words)
         rows = [words_h[b, :wcnt[b]] for b in range(B)]
     t0 = _mark("wait_pack", t0)  # blocks on pack kernel + download

@@ -26,14 +26,17 @@ W = 80384
 
 
 def timed(label, fn, *args, reps=3):
+    """Vary the first arg per rep: the axon terminal result-caches
+    repeated identical dispatches (measured: 0.2 ms for a 28.8M sort),
+    so identical-input timing loops measure the cache, not the op."""
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
+    for r in range(1, reps + 1):
+        out = fn(jnp.bitwise_xor(args[0], r), *args[1:])
         jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
-    print(f"{label}: {dt*1000:.1f} ms")
+    print(f"{label}: {dt*1000:.1f} ms", flush=True)
     return out
 
 
@@ -124,6 +127,37 @@ def stage_merge(slots, gbits, gvalid, start_bit):
     return words, total
 
 
+@jax.jit
+def stage_merge_scatter(slots, gbits, gvalid, start_bit):
+    """Scatter formulation of level 2: every group writes its <=34
+    shifted slot words into the output at its word offset; group bit
+    ranges are disjoint, so integer add == or."""
+    S = _SLOT_WORDS + 1
+    gends = jnp.cumsum(gbits, axis=1) + start_bit[:, None]
+    gstarts = gends - gbits
+    total = gends[:, -1]
+    sh = (gstarts & 31).astype(jnp.uint32)[:, :, None]       # (B,G,1)
+    wbase = (gstarts >> 5)[:, :, None]                        # (B,G,1)
+    su = jax.lax.bitcast_convert_type(slots, jnp.uint32)
+    prev = jnp.pad(su[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+    val = jnp.where(sh == 0, su,
+                    (su >> sh) | (prev << ((32 - sh) & 31)))
+    # one extra spill word past the slot (bits pushed right by sh)
+    spill = jnp.where(sh == 0, jnp.uint32(0),
+                      su[:, :, -1:] << ((32 - sh) & 31))
+    val = jnp.concatenate([val, spill], axis=2)               # (B,G,S+1)
+    ji = jnp.arange(S + 1, dtype=jnp.int32)[None, None]
+    widx = jnp.where(gvalid[:, :, None], wbase + ji, W + 1)
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    out = jnp.zeros((B, W + 2), jnp.int32)
+    out = out.at[bi, jnp.minimum(widx, W + 1)].add(
+        jax.lax.bitcast_convert_type(val, jnp.int32))
+    words = jax.lax.bitcast_convert_type(out[:, :W], jnp.uint32)
+    wpos = (jnp.arange(W, dtype=jnp.int32) * 32)[None]
+    words = jnp.where(wpos < total[:, None], words, 0)
+    return words, total
+
+
 def main():
     rng = np.random.default_rng(0)
     groups = jnp.asarray(
@@ -141,7 +175,14 @@ def main():
                packed_tab)
     slots_gbits = timed("level1 scatter slots", stage_scatter, pv)
     slots, gbits = slots_gbits
-    timed("level2 merge", stage_merge, slots, gbits, gvalid, start_bit)
+    w1, t1 = stage_merge(slots, gbits, gvalid, start_bit)
+    w2, t2 = stage_merge_scatter(slots, gbits, gvalid, start_bit)
+    same = bool(jnp.array_equal(w1, w2)) and bool(jnp.array_equal(t1, t2))
+    print(f"merge == scatter-merge: {same}", flush=True)
+    timed("level2 merge (sorted)", stage_merge, slots, gbits, gvalid,
+          start_bit)
+    timed("level2 merge (scatter)", stage_merge_scatter, slots, gbits,
+          gvalid, start_bit)
 
 
 if __name__ == "__main__":
