@@ -289,67 +289,40 @@ def _pack_groups(mtfv: jnp.ndarray, nm: jnp.ndarray,
         jax.lax.bitcast_convert_type(lo, jnp.int32))
     slots = jax.lax.bitcast_convert_type(slots, jnp.uint32)
 
-    # level 2: merge slots at group offsets start_bit + cumsum(gbits).
+    # level 2: every group scatter-adds its <=34 shifted slot words
+    # into the output at its word offset.  Slot bits beyond gbits are
+    # zero by construction and group bit ranges are disjoint, so
+    # integer add == or (measured 209 vs 419 ms for the previous
+    # sorted-merge formulation at W=80384, bit-identical —
+    # tools/tpu_pack_probe.py; scatter cost scales with G, not W).
+    S = _SLOT_WORDS + 1
     gends = jnp.cumsum(gbits, axis=1) + start_bit[:, None]
     gstarts = gends - gbits
     total = gends[:, -1] if G > 0 else start_bit
+    sh2 = (gstarts & 31).astype(jnp.uint32)[:, :, None]      # (B,G,1)
+    wbase = (gstarts >> 5)[:, :, None]
+    su = slots
+    prevw = jnp.pad(su[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+    val = jnp.where(sh2 == 0, su,
+                    (su >> sh2) | (prevw << ((32 - sh2) & 31)))
+    # one spill word past the slot (bits pushed right by the shift)
+    spill = jnp.where(sh2 == 0, jnp.uint32(0),
+                      su[:, :, -1:] << ((32 - sh2) & 31))
+    val = jnp.concatenate([val, spill], axis=2)              # (B,G,S+1)
+    ji = jnp.arange(S + 1, dtype=jnp.int32)[None, None]
     # W (static) is the output word capacity per row; the caller knows
-    # each row's exact payload bits before dispatch (sum of freq*len on
-    # the host) and falls back to the host encoder when a row exceeds
-    # it, so no output is ever silently truncated.
-    # for output word w, the covering group = #{g : gstart <= 32w} - 1
-    # via one sorted merge over (G starts | W word positions)
-    wpos = jnp.broadcast_to(
-        (jnp.arange(W, dtype=jnp.int32) * 32)[None], (B, W))
-    keys = jnp.concatenate(
-        [jnp.where(gvalid, gstarts, _INF), wpos], axis=1)
-    tags = jnp.concatenate([jnp.zeros((B, G), jnp.int32),
-                            jnp.ones((B, W), jnp.int32)], axis=1)
-    gids = jnp.concatenate(
-        [jnp.arange(G, dtype=jnp.int32)[None].repeat(B, 0),
-         jnp.zeros((B, W), jnp.int32)], axis=1)
-    skeys, stags, sgids = jax.lax.sort((keys, tags, gids), num_keys=2,
-                                       dimension=1)
-    run = jax.lax.cummax(jnp.where(stags == 0, sgids, -1), axis=1)
-    _, wg = jax.lax.sort((stags, run), num_keys=1, dimension=1)
-    wg = jax.lax.slice_in_dim(wg, G, G + W, axis=1)  # (B, W) group ids
-
-    def window(g):
-        """Output-word view of group g's slot at this word's offset,
-        in pure u32: bits [sh, sh+32) of the slot's 64-bit window."""
-        g = jnp.clip(g, 0, G - 1)
-        gs = jnp.take_along_axis(gstarts, g, axis=1)
-        off = wpos - gs  # bit offset of word within group (may be <0)
-        sw = jnp.clip(off >> 5, -1, _SLOT_WORDS)
-        sh = (off & 31).astype(jnp.uint32)
-        flat_slots = slots.reshape(B, G * (_SLOT_WORDS + 1))
-
-        def sword(i):
-            j = jnp.clip(sw + i, 0, _SLOT_WORDS)
-            ok = (sw + i >= 0) & (sw + i <= _SLOT_WORDS)
-            v = jnp.take_along_axis(flat_slots,
-                                    g * (_SLOT_WORDS + 1) + j, axis=1)
-            return jnp.where(ok, v, 0)
-
-        w0, w1 = sword(0), sword(1)
-        win = jnp.where(sh == 0, w0,
-                        (w0 << sh) | (w1 >> ((32 - sh) & 31)))
-        # mask to the group's bit extent (its slot may carry stray
-        # zeros past gbits; adjacent-group bits come via the successor)
-        gb = jnp.take_along_axis(gbits, g, axis=1)
-        vb = jnp.clip(gb - off, 0, 32).astype(jnp.uint32)
-        mask = jnp.where(vb >= 32, jnp.uint32(0xFFFFFFFF),
-                         jnp.where(vb == 0, jnp.uint32(0),
-                                   jnp.uint32(0xFFFFFFFF) << (32 - vb)))
-        neg = off < -31  # word entirely before the group starts
-        return jnp.where(neg, 0, win & mask)
-
-    # a 32-bit output word overlaps at most two groups (every non-final
-    # group carries >= 50 bits); take the covering group + successor
-    wg1 = jnp.minimum(wg + 1, G - 1)
-    nxt = window(wg1)
-    nxt = jnp.where(wg1 > wg, nxt, 0)
-    words = window(wg) | nxt
+    # each row's exact payload bits before dispatch and falls back to
+    # the host encoder when a row exceeds it, so invalid/overflow
+    # contributions land in the W+1 dump slot and nothing real is
+    # silently truncated.
+    widx = jnp.where(gvalid[:, :, None], wbase + ji, W + 1)
+    bi2 = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    out = jnp.zeros((B, W + 2), jnp.int32)
+    out = out.at[bi2, jnp.minimum(widx, W + 1)].add(
+        jax.lax.bitcast_convert_type(val, jnp.int32))
+    words = jax.lax.bitcast_convert_type(
+        jax.lax.slice_in_dim(out, 0, W, axis=1), jnp.uint32)
+    wpos = (jnp.arange(W, dtype=jnp.int32) * 32)[None]
     words = jnp.where(wpos < total[:, None], words, 0)
     return words, total
 
