@@ -63,7 +63,7 @@ Options:
   -S                 : Print condition variable statistics (no-op).
   -s, --small, -q, --quiet, --repetitive-fast, --repetitive-best,
   --exponential      : Accepted for compatibility; ignored.
-  -m MEM             : Memory bound (parsed; currently unenforced).
+  -m MEM             : Cap worker count to fit the memory bound.
   -h, --help         : Print this help and exit.
   -L, -V, --license, --version : Print version info and exit.
 
