@@ -59,11 +59,11 @@ _MID_CUTOFF = 262144  # blocks in (8192, _MID_CUTOFF] -> host engine
 # per-dispatch tunnel latency and keep the sort lanes full.
 _BATCH = int(os.environ.get("LBZ2_DEVICE_BATCH", "32"))
 
-# Batches kept in flight on the device queue simultaneously.  2, not
-# 3: each batch moves ~43 MB over a ~25 MB/s half-duplex tunnel, so a
-# third in-flight batch only queues wire time (measured 3-8 s of
-# extra expand latency per batch) and grows the claimed-block set.
-_INFLIGHT = int(os.environ.get("LBZ2_DEVICE_INFLIGHT", "2"))
+# Batches kept in flight on the device queue simultaneously.  3 since
+# round 5: the wire re-measured at 30-34 MB/s duplex (was ~25
+# half-duplex), so per-batch cost is chip-bound (~2.6 s) and a third
+# in-flight batch keeps the chip fed across fetch/dispatch gaps.
+_INFLIGHT = int(os.environ.get("LBZ2_DEVICE_INFLIGHT", "3"))
 
 _DEVICE = os.environ.get("LBZ2_DEVICE", "1") != "0"
 
@@ -129,11 +129,17 @@ def _chip_dec():
         _chip_cv.notify_all()
 
 
-def _chip_wait_idle(timeout_s: float = 60.0):
+def _chip_wait_idle(timeout_s: float = 60.0, max_inflight: int = 1):
+    """Wait until at most max_inflight leftover batches remain.
+
+    Default 1 (not 0): a fresh stream's first dispatch may interleave
+    with the previous pool's LAST in-flight batch — waiting for full
+    idle was measured to forfeit the device leg entirely on streams
+    shorter than drain+first-batch latency (~15 s)."""
     global _chip_inflight
     deadline = time.time() + timeout_s
     with _chip_cv:
-        while _chip_inflight > 0:
+        while _chip_inflight > max_inflight:
             left = deadline - time.time()
             if left <= 0:
                 # the previous pool's in-flight work never completed
