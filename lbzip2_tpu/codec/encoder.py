@@ -271,6 +271,7 @@ class _WorkPool:
         self.complete = False  # every block delivered; engines may bail
         self.next_deliver = 0  # results below this are stale duplicates
         self.last_batch_t = 0.0  # monotonic t of last device completion
+        self.lat_ema = 0.0     # claim->deliver latency estimate (s)
         self.fetch_q: queue.Queue = queue.Queue()
         self.fetch_pending = 0  # dispatched batches not yet fetched
         self.stats = {"device_blocks": 0, "host_blocks": 0,
@@ -298,8 +299,13 @@ class _WorkPool:
             db = self.stats["device_batches"]
             if hb and len(db) >= 2 and el > 0:
                 host_bps = hb / el                       # blocks/s
-                lat = max(_DRAIN_LAT_FLOOR_S,
-                          (db[-1][1] - db[0][1]) / (len(db) - 1))
+                # latency = observed claim->deliver time (ready_s EMA),
+                # NOT completion spacing: with 3 batches pipelined the
+                # cadence reads ~1 s while a claim actually takes ~7 s
+                # to come back — the round-5 300 MB run claimed 2 extra
+                # batches at the drain and spent the last 7 s of the
+                # stream racing them (34 duplicated blocks)
+                lat = max(_DRAIN_LAT_FLOOR_S, self.lat_ema)
                 if remaining < k + host_bps * lat:
                     return []
             if not db and hb >= remaining:
@@ -552,6 +558,8 @@ class _WorkPool:
         tele["expand_s"] = round(time.time() - t1, 3)
         tele["done_t"] = round(time.time() - self.stats["t0"], 2)
         self.last_batch_t = time.time()
+        self.lat_ema = tele["ready_s"] if not self.lat_ema else \
+            0.5 * self.lat_ema + 0.5 * tele["ready_s"]
         self.stats["device_blocks"] += fresh
         self.stats["stale_rows"] += stale
         self.stats["device_batches"].append((fresh, tele["done_t"]))
@@ -596,6 +604,8 @@ class _WorkPool:
         tele["ready_s"] = round(time.time() - t0, 3)
         tele["done_t"] = round(time.time() - self.stats["t0"], 2)
         self.last_batch_t = time.time()
+        self.lat_ema = tele["ready_s"] if not self.lat_ema else \
+            0.5 * self.lat_ema + 0.5 * tele["ready_s"]
         self.stats["device_blocks"] += fresh
         self.stats["stale_rows"] += stale
         self.stats["device_batches"].append((fresh, tele["done_t"]))
@@ -603,9 +613,15 @@ class _WorkPool:
 
     def _build_batch(self, ids):
         """Lyndon-prep ids into one padded (rows, bucket) batch;
-        periodic and mid-size blocks route to the host immediately."""
+        periodic and mid-size blocks route to the host immediately.
+
+        The least rotation is written straight into the batch row
+        (lyndon_prep's out buffer) — the prep used to copy each 0.9 MB
+        block twice (alloc + row store), ~0.1-0.2 s of host CPU per
+        batch this 2-core box can't spare."""
         t0 = time.time()
-        rows = []
+        eligible = []
+        bucket = _BUCKETS[0]
         for i in ids:
             span = self.blocks[i]
             bucket_i = _bucket_for(span.data.size)
@@ -613,38 +629,45 @@ class _WorkPool:
                 self.unclaim(i)
                 self.entropy_q.put((i, span, None, -1))  # host BWT
                 continue
-            r, m = native.lyndon_prep(span.data)
-            if m < 0:
-                self.unclaim(i)
-                self.entropy_q.put((i, span, None, -1))  # host BWT
-            else:
-                rows.append((i, span, r, m))
-        if not rows:
+            eligible.append((i, span))
+            bucket = max(bucket, bucket_i)
+        if not eligible:
             return None
-        bucket = max(_bucket_for(r.size) for _, _, r, _ in rows)
         # one compiled row count per bucket (each shape costs a ~45-250s
         # remote compile): the production bucket always ships full-width
         # batches (short end-of-stream claims ride as pad rows); only
         # the tiny CPU-test bucket keeps a cheap 8-row shape
-        nrows = 8 if (len(rows) <= 8 and bucket == _BUCKETS[0]) \
+        nrows = 8 if (len(eligible) <= 8 and bucket == _BUCKETS[0]) \
             else _BATCH
         batch = np.zeros((nrows, bucket), np.uint8)
         ns = np.empty(nrows, np.int32)
         ms = np.empty(nrows, np.int32)
-        for row, (i, span, r, m) in enumerate(rows):
-            batch[row, :r.size] = r
-            ns[row] = r.size
+        kept = []
+        row = 0
+        for i, span in eligible:
+            n = span.data.size
+            _, m = native.lyndon_prep(span.data, out=batch[row, :n])
+            if m < 0:  # fully periodic: host convention, reuse the row
+                batch[row, :n] = 0
+                self.unclaim(i)
+                self.entropy_q.put((i, span, None, -1))
+                continue
+            ns[row] = n
             ms[row] = m
-        for row in range(len(rows), nrows):
+            kept.append((i, span))
+            row += 1
+        if not kept:
+            return None
+        for r in range(row, nrows):
             # pad rows replay row 0 (resolve identically)
-            batch[row] = batch[0]
-            ns[row] = ns[0]
-            ms[row] = ms[0]
-        tele = {"rows": len(rows), "shape": [nrows, bucket],
+            batch[r] = batch[0]
+            ns[r] = ns[0]
+            ms[r] = ms[0]
+        tele = {"rows": len(kept), "shape": [nrows, bucket],
                 "prep_s": round(time.time() - t0, 3),
                 "t": round(time.time() - self.stats["t0"], 2)}
-        return ([i for i, _, _, _ in rows],
-                [span for _, span, _, _ in rows], batch, ns, ms, tele)
+        return ([i for i, _ in kept], [span for _, span in kept],
+                batch, ns, ms, tele)
 
     # --- host workers -----------------------------------------------------
     def _next_task(self):

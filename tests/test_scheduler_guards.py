@@ -38,7 +38,8 @@ def test_drain_guard_refuses_at_stream_tail():
     p.head, p.tail = 170, 200              # 30 remaining
     p.stats["t0"] = time.time() - 10.0     # elapsed 10 s
     p.stats["host_blocks"] = 100           # host_bps = 10
-    p.stats["device_batches"] = [(32, 5.0), (32, 10.0)]  # lat 5 s
+    p.stats["device_batches"] = [(32, 5.0), (32, 10.0)]
+    p.lat_ema = 5.0                        # observed claim->deliver
     assert p.take_head(32) == []
 
 
@@ -50,6 +51,7 @@ def test_drain_guard_claims_on_deep_queue():
     p.stats["t0"] = time.time() - 10.0
     p.stats["host_blocks"] = 100
     p.stats["device_batches"] = [(32, 5.0), (32, 10.0)]
+    p.lat_ema = 5.0
     got = p.take_head(32)
     assert len(got) == 32
     assert set(got) <= p.claimed
@@ -62,20 +64,22 @@ def test_drain_guard_inactive_when_host_idle():
     p.stats["t0"] = time.time() - 10.0
     p.stats["host_blocks"] = 0
     p.stats["device_batches"] = [(32, 5.0), (32, 10.0)]
+    p.lat_ema = 5.0
     assert len(p.take_head(32)) == 32
 
 
 def test_drain_guard_latency_floor():
-    """Two freak fast batches (0.1 s apart) must not talk the guard
-    into claiming at the drain: the fitted latency is floored at
+    """A freak fast observed latency (0.1 s EMA) must not talk the
+    guard into claiming at the drain: the estimate is floored at
     _DRAIN_LAT_FLOOR_S (default 2 s), so with host 20 blocks/s and 40
     remaining the claim is still refused."""
     p = _mk_pool(200)
     p.head, p.tail = 160, 200              # 40 remaining
     p.stats["t0"] = time.time() - 10.0
     p.stats["host_blocks"] = 200           # host_bps = 20
-    p.stats["device_batches"] = [(32, 5.0), (32, 5.1)]  # raw lat 0.1 s
-    # 40 < 32 + 20 * 2.0 -> refuse (with raw lat it would claim)
+    p.stats["device_batches"] = [(32, 5.0), (32, 5.1)]
+    p.lat_ema = 0.1                        # freak fast observation
+    # 40 < 32 + 20 * 2.0 -> refuse (with the raw EMA it would claim)
     assert p.take_head(32) == []
 
 
