@@ -857,9 +857,13 @@ def compress_blocks_hybrid(data: bytes | np.ndarray, level: int = 9,
     mbs = level * 100000
 
     if native.native_available():
+        # arena views: the spans live only for this call; skips a
+        # full-stream copy plus the fresh-allocation page-fault tax
+        # (~3.5 s on a 1 GB stream, paid inside the timed pipeline)
         blocks = [rle1.BlockSpan(a, b, blk, cmap) for a, b, blk, cmap in
                   native.rle1_collect(buf, mbs,
-                                      None if sequential_split else mbs)]
+                                      None if sequential_split else mbs,
+                                      reuse_arena=True)]
     else:
         blocks = rle1.rle1_blocks(buf, mbs,
                                   None if sequential_split else -1)
