@@ -518,10 +518,14 @@ class _WorkPool:
     def _wait_ready(arr):
         """Poll until a device array is ready instead of blocking in
         the client: a blocking wait inside the runtime spins a CPU
-        core, which this 2-core host cannot spare."""
+        core, which this 2-core host cannot spare.  Exponential
+        backoff — is_ready() is itself a remote call on tunneled
+        backends, so tight polling is an RPC storm."""
+        nap = 0.05
         try:
             while not arr.is_ready():
-                time.sleep(0.02)
+                time.sleep(nap)
+                nap = min(0.5, nap * 1.6)
         except AttributeError:
             pass
 

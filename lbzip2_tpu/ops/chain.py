@@ -436,13 +436,17 @@ def chain_payloads(bwt_dev, ns, cmaps, idxs, crcs,
     def _nap_ready(*arrs):
         """Poll until device arrays are ready before np.asarray: a
         blocking wait inside the runtime spins a CPU core for the
-        whole kernel latency, which the 2-core host can't spare while
-        its own entropy workers run (same discipline as the engine's
-        _wait_ready)."""
+        whole kernel latency.  Exponential backoff (50 ms -> 500 ms):
+        is_ready() is itself a remote call on tunneled backends, so a
+        20 ms poll loop was an RPC storm costing core-seconds per
+        batch; at a ~7 s batch latency a 0.5 s poll granularity is
+        noise."""
+        nap = 0.05
         for a in arrs:
             try:
                 while not a.is_ready():
-                    _time.sleep(0.02)
+                    _time.sleep(nap)
+                    nap = min(0.5, nap * 1.6)
             except AttributeError:
                 pass
 
