@@ -200,7 +200,7 @@ def main():
     from lbzip2_tpu.parallel.encode import compress_parallel
     _ = compress_parallel(data[:900000], level)
     host_dt = None
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.time()
         out = compress_parallel(data, level)
         dt = time.time() - t0
@@ -228,16 +228,22 @@ def main():
     ref = None
     if os.path.exists("/tmp/refbuild/lbzip2"):
         import subprocess
-        t0 = time.time()
-        rc = subprocess.run(["/tmp/refbuild/lbzip2", "-9", "-c"],
-                            input=data, capture_output=True).stdout
-        ref_c = len(data) / (time.time() - t0) / 1e6
-        t0 = time.time()
-        subprocess.run(["/tmp/refbuild/lbzip2", "-d", "-c"], input=rc,
-                       capture_output=True)
-        ref_d = len(data) / (time.time() - t0) / 1e6
-        ref = {"compress_MBps": round(ref_c, 2),
-               "decompress_MBps": round(ref_d, 2)}
+        # best-of-2 both directions: the box shows multi-x CPU-steal
+        # phases and a single-shot reference number is as noisy as ours
+        ref_c_dt = ref_d_dt = None
+        for _rep in range(2):
+            t0 = time.time()
+            rc = subprocess.run(["/tmp/refbuild/lbzip2", "-9", "-c"],
+                                input=data, capture_output=True).stdout
+            dt = time.time() - t0
+            ref_c_dt = dt if ref_c_dt is None else min(ref_c_dt, dt)
+            t0 = time.time()
+            subprocess.run(["/tmp/refbuild/lbzip2", "-d", "-c"], input=rc,
+                           capture_output=True)
+            dt = time.time() - t0
+            ref_d_dt = dt if ref_d_dt is None else min(ref_d_dt, dt)
+        ref = {"compress_MBps": round(len(data) / ref_c_dt / 1e6, 2),
+               "decompress_MBps": round(len(data) / ref_d_dt / 1e6, 2)}
 
     # Hybrid chip+host pipeline LAST: measured when the tunnel is
     # healthy (remote compiles can take minutes and are NOT cached
