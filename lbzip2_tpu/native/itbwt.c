@@ -509,9 +509,22 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
     /* (off == n) */
   }
 
-  /* place sorted B* suffixes; emit their BWT bytes.
+  /* Induction entries pack the slot's BWT byte with the suffix
+   * position: entry = (byte << ITB_BSH) | pos, possibly ~-flipped.
+   * One random store per induced suffix instead of two (separate
+   * bwt_out[slot] writes measured +0.14 s/43 MB vs divbwt's
+   * construct, which stores chars into SA in place); the bytes are
+   * extracted with one sequential pass at the end.
    * positive value = B-duty (predecessor is type B);
    * ~value = A-duty (predecessor is type A, or suffix 0). */
+#define ITB_BSH 23
+#define ITB_PMASK ((1 << ITB_BSH) - 1)
+  if (n > ITB_PMASK) {  /* cannot pack; bzip2 blocks are <= 900001 */
+    free(SA); free(kA); free(kB); free(regS); free(regE);
+    free(startBs); free(cntA); free(cntB); free(cntBs);
+    free(PB); free(SB); free(RK);
+    return -7;
+  }
   {
     int32_t r = 0;  /* global sorted B* cursor */
     for (int32_t b = 0; b < 65536 && r < m; b++) {
@@ -521,9 +534,10 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       int32_t slot = startBs[b];
       for (int32_t x = 0; x < nBs; x++, r++, slot++) {
         int32_t p = PB[SB[r]];
-        bwt_out[slot] = (p > 0) ? R[p - 1] : R[n - 1];
-        if (p > 0 && R[p - 1] <= R[p]) SA[slot] = p;
-        else SA[slot] = ~p;
+        int32_t byte = (p > 0) ? R[p - 1] : R[n - 1];
+        int32_t e = (byte << ITB_BSH) | p;
+        if (p > 0 && R[p - 1] <= R[p]) SA[slot] = e;
+        else SA[slot] = ~e;
       }
     }
   }
@@ -540,15 +554,16 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
       if (j - 16 >= lo) {
         int32_t vp = SA[j - 16];
         if (vp < 0) vp = ~vp;
-        if ((uint32_t)vp < (uint32_t)n) __builtin_prefetch(&R[vp]);
+        __builtin_prefetch(&R[vp & ITB_PMASK]);
       }
       int32_t v = SA[j];
       if (v < 0) { SA[j] = ~v; continue; }   /* A-duty: leave for A-scan */
-      int32_t t = v - 1;                      /* v > 0 here (0 is ~0) */
+      int32_t t = (v & ITB_PMASK) - 1;        /* pos > 0 for B-duty */
       int32_t slot = --kB[R[t]];
-      bwt_out[slot] = (t > 0) ? R[t - 1] : R[n - 1];
-      if (t > 0 && R[t - 1] <= R[t]) SA[slot] = t;
-      else SA[slot] = ~t;
+      int32_t byte = (t > 0) ? R[t - 1] : R[n - 1];
+      int32_t e = (byte << ITB_BSH) | t;
+      if (t > 0 && R[t - 1] <= R[t]) SA[slot] = e;
+      else SA[slot] = ~e;
       SA[j] = ~v;                             /* done; A-scan skips */
     }
   }
@@ -558,27 +573,35 @@ long itb_bwt(const uint8_t *R, int32_t n, uint8_t *bwt_out,
   {
     int32_t t = n - 1;
     int32_t slot = kA[R[t]]++;
-    bwt_out[slot] = R[t - 1];
-    SA[slot] = (R[t - 1] >= R[t]) ? t : ~t;
-    if (want == t) want_slot = slot;
+    int32_t e = ((int32_t)R[t - 1] << ITB_BSH) | t;
+    SA[slot] = (R[t - 1] >= R[t]) ? e : ~e;
   }
   for (int32_t i = 0; i < n; i++) {
     if (i + 16 < n) {
-      int32_t vp = SA[i + 16];          /* may be an unplaced A slot:
-                                           bound-check before use */
+      int32_t vp = SA[i + 16];
       if (vp < 0) vp = ~vp;
-      if ((uint32_t)vp < (uint32_t)n) __builtin_prefetch(&R[vp]);
+      __builtin_prefetch(&R[vp & ITB_PMASK]);
     }
     int32_t v = SA[i];
-    if (v < 0) { SA[i] = ~v; if (want == ~v) want_slot = i; continue; }
-    if (want == v) want_slot = i;
-    if (v == 0) continue;                    /* defensive; 0 is ~0 */
-    int32_t t = v - 1;
-    if (R[t] < R[v]) continue;               /* predecessor is type B */
+    if (v < 0) {
+      v = ~v;
+      SA[i] = v;
+      if (want == (v & ITB_PMASK)) want_slot = i;
+      continue;
+    }
+    int32_t pos = v & ITB_PMASK;
+    if (want == pos) want_slot = i;
+    if (pos == 0) continue;                  /* suffix 0: nothing before */
+    int32_t t = pos - 1;
+    if (R[t] < R[pos]) continue;             /* predecessor is type B */
     int32_t slot = kA[R[t]]++;
-    bwt_out[slot] = (t > 0) ? R[t - 1] : R[n - 1];
-    SA[slot] = (t > 0 && R[t - 1] >= R[t]) ? t : ~t;
+    int32_t byte = (t > 0) ? R[t - 1] : R[n - 1];
+    int32_t e = (byte << ITB_BSH) | t;
+    SA[slot] = (t > 0 && R[t - 1] >= R[t]) ? e : ~e;
   }
+  /* extract the packed BWT bytes: one sequential pass */
+  for (int32_t i = 0; i < n; i++)
+    bwt_out[i] = (uint8_t)((uint32_t)SA[i] >> ITB_BSH);
 
   ITBT(6)  /* A-induce */
   free(SA); free(kA); free(kB); free(regS); free(regE); free(startBs);
