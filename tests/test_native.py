@@ -184,3 +184,27 @@ def test_itb_bwt_deep_stack_roundtrip():
     data = body.reshape(-1).tobytes()
     out = compress_parallel(data, level=9, n_workers=2)
     assert bz2.decompress(out) == data
+
+
+def test_rle1_collect_arena_reuse():
+    """reuse_arena=True returns views valid until the thread's next
+    such call; each call's results must match the owning-copy path,
+    and a second call may overwrite the first call's views (the
+    documented contract for the hybrid pool's per-stream usage)."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, 250000, dtype=np.uint8)
+    b = np.frombuffer(b"x" * 120000 + bytes(rng.integers(0, 256, 130000,
+                                            dtype=np.uint8)), np.uint8)
+    ra = native.rle1_collect(a, 100000, 100000, reuse_arena=True)
+    ca = native.rle1_collect(a, 100000, 100000)
+    assert len(ra) == len(ca)
+    for (s1, e1, blk1, cm1), (s2, e2, blk2, cm2) in zip(ra, ca):
+        assert (s1, e1) == (s2, e2)
+        np.testing.assert_array_equal(blk1, blk2)
+        np.testing.assert_array_equal(cm1, cm2)
+    # second arena call: fresh results correct; prior views now stale
+    rb = native.rle1_collect(b, 100000, 100000, reuse_arena=True)
+    cb = native.rle1_collect(b, 100000, 100000)
+    for (s1, e1, blk1, cm1), (s2, e2, blk2, cm2) in zip(rb, cb):
+        assert (s1, e1) == (s2, e2)
+        np.testing.assert_array_equal(blk1, blk2)
